@@ -1,0 +1,366 @@
+"""Frameshift-tolerant codon ("frame state") emission model.
+
+A frame state intends to emit one codon drawn from a codon distribution
+p(x1,x2,x3) but, due to sequencing indel errors with rate epsilon, the
+observed fragment Z has length 1..5.  This module replaces the external imm
+library's frame-state machinery (imm_frame_state / imm_codon_marg /
+imm_nuclt_lprob / imm_frame_cond, used by the reference via
+src/model/protein_model.c:247-254 and src/model/protein_profile.c:306-331).
+
+Generative error model (reconstructed from the deciphon model description;
+the reference's exact formulas live in the unavailable imm sources, so this
+is a from-first-principles derivation kept provably normalized):
+
+  - Draw codon x = (x1,x2,x3) ~ p.
+  - Four independent Bernoulli(eps) error events: two *deletion* events and
+    two *insertion* events.
+  - k fired deletion events remove k distinct codon positions, uniformly
+    chosen among the C(3,k) possibilities.
+  - k fired insertion events add k background nucleotides (i.i.d. ~ q, the
+    state's marginal nucleotide distribution); which observed positions are
+    the insertions is uniform over the C(n,k) arrangements of the resulting
+    fragment of length n.
+
+  P(len) factors: len3 exact (1-e)^4; len2/len4 leading 2e(1-e)^3;
+  len1/len5 e^2(1-e)^2; plus the cross terms (1 del + 1 ins at len 3,
+  2 del + 1 ins at len 2, ...).  Sum over all fragments of all lengths is
+  exactly 1 (tested in tests/test_frame.py).
+
+Everything is expressed as table lookups so it vectorizes on TPU:
+
+  - codon distribution  -> 5x5x5 log-marginal table M (index 4 = "any",
+    i.e. that codon position summed out), flattened to M[125];
+  - background nucleotide dist -> q[5] with q[4] = log 1 (sentinel for
+    "no inserted nucleotide");
+  - every observable fragment (4 + 16 + 64 + 256 + 1024 = 1364 of them)
+    scores as a fixed 63-term sum of coef * q[i1] * q[i2] * M[idx]
+    products, giving a per-state fragment score table F[1365] (last entry
+    is a -inf padding sentinel).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from deciphon_tpu.models.alphabet import AMINO, GeneticCode, STANDARD_CODE
+
+ANY = -1
+NO_INS = -1
+
+# Fragment table layout: offsets of each length block among all fragments of
+# lengths 1..5 (base-4 little ordering within a block), plus a -inf sentinel.
+FRAG_OFFSET = (0, 0, 4, 20, 84, 340)  # index by length 1..5
+NFRAGS = 1364
+FRAG_SENTINEL = NFRAGS  # table size NFRAGS + 1, last entry -inf
+
+
+def frag_index(frag: np.ndarray) -> int:
+    """Index of a fragment (int array of nucleotide indices, len 1..5)."""
+    n = len(frag)
+    idx = 0
+    for z in frag:
+        idx = idx * 4 + int(z)
+    return FRAG_OFFSET[n] + idx
+
+
+def _build_terms():
+    """Static term structure per fragment length.
+
+    Returns dict: length -> (marg_sel [T,3], ins_sel [T,2], class_id [T])
+    where marg_sel entries are observed-position indices or ANY, ins_sel are
+    observed positions of inserted nucleotides or NO_INS.
+    """
+    terms = {}
+
+    def add(bucket, pattern, ins, cls):
+        bucket.append((tuple(pattern), tuple(ins), cls))
+
+    def codon_patterns_2del(zpos):
+        # one surviving codon position k, observed nucleotide at zpos
+        return [
+            [(zpos, ANY, ANY), (ANY, zpos, ANY), (ANY, ANY, zpos)][k]
+            for k in range(3)
+        ]
+
+    def codon_patterns_1del(u, v):
+        # two surviving codon positions with observed positions (u, v)
+        return [(ANY, u, v), (u, ANY, v), (u, v, ANY)]
+
+    # length 1: both deletions fired, no insertion (class L1)
+    t1 = []
+    for pat in codon_patterns_2del(0):
+        add(t1, pat, (NO_INS, NO_INS), "L1")
+    terms[1] = t1
+
+    # length 2
+    t2 = []
+    for pat in codon_patterns_1del(0, 1):  # 1 deletion
+        add(t2, pat, (NO_INS, NO_INS), "L2A")
+    for ins in (0, 1):  # 2 deletions + 1 insertion
+        surv = 1 - ins
+        for pat in codon_patterns_2del(surv):
+            add(t2, pat, (ins, NO_INS), "L2B")
+    terms[2] = t2
+
+    # length 3
+    t3 = [((0, 1, 2), (NO_INS, NO_INS), "L3A")]  # exact
+    for ins in (0, 1, 2):  # 1 deletion + 1 insertion
+        u, v = [p for p in (0, 1, 2) if p != ins]
+        for pat in codon_patterns_1del(u, v):
+            add(t3, pat, (ins, NO_INS), "L3B")
+    for surv in (0, 1, 2):  # 2 deletions + 2 insertions
+        i, j = [p for p in (0, 1, 2) if p != surv]
+        for pat in codon_patterns_2del(surv):
+            add(t3, pat, (i, j), "L3C")
+    terms[3] = t3
+
+    # length 4
+    t4 = []
+    for ins in range(4):  # 1 insertion
+        u, v, w = [p for p in range(4) if p != ins]
+        add(t4, (u, v, w), (ins, NO_INS), "L4A")
+    for i, j in itertools.combinations(range(4), 2):  # 1 del + 2 ins
+        u, v = [p for p in range(4) if p not in (i, j)]
+        for pat in codon_patterns_1del(u, v):
+            add(t4, pat, (i, j), "L4B")
+    terms[4] = t4
+
+    # length 5: 2 insertions
+    t5 = []
+    for i, j in itertools.combinations(range(5), 2):
+        u, v, w = [p for p in range(5) if p not in (i, j)]
+        add(t5, (u, v, w), (i, j), "L5")
+    terms[5] = t5
+
+    out = {}
+    for ln, tl in terms.items():
+        marg_sel = np.array([t[0] for t in tl], dtype=np.int32)
+        ins_sel = np.array([t[1] for t in tl], dtype=np.int32)
+        cls = [t[2] for t in tl]
+        out[ln] = (marg_sel, ins_sel, cls)
+    return out
+
+
+TERMS = _build_terms()
+
+_CLASS_NAMES = ("L1", "L2A", "L2B", "L3A", "L3B", "L3C", "L4A", "L4B", "L5")
+
+
+def term_coefs(eps: float) -> dict[str, float]:
+    """Per-term probability coefficients (linear space) for each class."""
+    e, o = float(eps), 1.0 - float(eps)
+    return {
+        "L1": e * e * o * o / 3.0,
+        "L2A": 2.0 * e * o**3 / 3.0,
+        "L2B": 2.0 * e**3 * o / 6.0,
+        "L3A": o**4,
+        "L3B": 4.0 * e * e * o * o / 9.0,
+        "L3C": e**4 / 9.0,
+        "L4A": 2.0 * e * o**3 / 4.0,
+        "L4B": 2.0 * e**3 * o / 18.0,
+        "L5": e * e * o * o / 10.0,
+    }
+
+
+def _enumerate_frags(length: int) -> np.ndarray:
+    """[4^length, length] array of all fragments of the given length."""
+    grids = np.meshgrid(*([np.arange(4)] * length), indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Distribution tables
+# ---------------------------------------------------------------------------
+
+
+def _any_aggregation_matrix() -> np.ndarray:
+    """[125, 64] 0/1 matrix: pattern (base-5, 4=any) -> matching codons."""
+    A = np.zeros((125, 64), dtype=np.float64)
+    for a in range(5):
+        for b in range(5):
+            for c in range(5):
+                p = a * 25 + b * 5 + c
+                for ca in range(4):
+                    if a != 4 and a != ca:
+                        continue
+                    for cb in range(4):
+                        if b != 4 and b != cb:
+                            continue
+                        for cc in range(4):
+                            if c != 4 and c != cc:
+                                continue
+                            A[p, ca * 16 + cb * 4 + cc] = 1.0
+    return A
+
+
+ANY_AGG = _any_aggregation_matrix()
+
+# [64, 4] count of each nucleotide in each codon (for the q marginal).
+_CODON_NT_COUNT = np.zeros((64, 4), dtype=np.float64)
+for _a in range(4):
+    for _b in range(4):
+        for _c in range(4):
+            _i = _a * 16 + _b * 4 + _c
+            _CODON_NT_COUNT[_i, _a] += 1
+            _CODON_NT_COUNT[_i, _b] += 1
+            _CODON_NT_COUNT[_i, _c] += 1
+
+
+def codon_lprob_from_amino(
+    amino_lprobs: np.ndarray, gc: GeneticCode = STANDARD_CODE
+) -> np.ndarray:
+    """Lift amino log-probs/log-odds [..., 20] to codon log-probs [..., 64].
+
+    Mass of each amino acid is split evenly over its codons, stop codons get
+    zero probability, and the result is normalized.  Mirrors the reference's
+    codon_lprob + imm_codon_lprob_normalize (src/model/protein_model.c:361-408).
+    """
+    amino_lprobs = np.asarray(amino_lprobs, dtype=np.float64)
+    batch = amino_lprobs.shape[:-1]
+    lp = np.full(batch + (64,), -np.inf, dtype=np.float64)
+    sense = gc.aa_of >= 0
+    aa = gc.aa_of[sense]
+    lp[..., sense] = amino_lprobs[..., aa] - np.log(gc.ncodons_per_aa[aa])
+    # normalize
+    m = np.max(lp, axis=-1, keepdims=True)
+    lse = np.log(np.sum(np.exp(lp - m), axis=-1, keepdims=True)) + m
+    return lp - lse
+
+
+def nuclt_lprob_from_codon(codon_lprobs: np.ndarray) -> np.ndarray:
+    """Marginal nucleotide log-probs q[..., 4] from codon log-probs [..., 64].
+
+    q(n) = (1/3) * sum_codon p(codon) * count_n(codon); mirrors nuclt_lprob
+    (src/model/protein_model.c:342-359).
+    """
+    p = np.exp(np.asarray(codon_lprobs, dtype=np.float64))
+    q = (p @ _CODON_NT_COUNT) / 3.0
+    with np.errstate(divide="ignore"):
+        return np.log(q)
+
+
+def codon_marg(codon_lprobs: np.ndarray) -> np.ndarray:
+    """[..., 125] log-marginal table over base-5 patterns (4 = any).
+
+    Replaces imm_codon_marg (used at src/model/protein_model.c:407).
+    """
+    p = np.exp(np.asarray(codon_lprobs, dtype=np.float64))
+    m = p @ ANY_AGG.T
+    with np.errstate(divide="ignore"):
+        return np.log(m)
+
+
+def q5_pad(q_log: np.ndarray) -> np.ndarray:
+    """Pad q[..., 4] with a log-1 sentinel at index 4 ("no insertion")."""
+    q_log = np.asarray(q_log, dtype=np.float64)
+    pad = np.zeros(q_log.shape[:-1] + (1,), dtype=q_log.dtype)
+    return np.concatenate([q_log, pad], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fragment score tables
+# ---------------------------------------------------------------------------
+
+
+def fragment_table(
+    marg125_log: np.ndarray, q5_log: np.ndarray, eps: float
+) -> np.ndarray:
+    """Score every fragment of length 1..5 for a (batch of) frame state(s).
+
+    Args:
+      marg125_log: [..., 125] codon log-marginal table(s).
+      q5_log: [..., 5] background nucleotide log-probs, q5_log[..., 4] = 0.
+      eps: indel error rate.
+
+    Returns: [..., 1365] log P(Z) with the last entry -inf (padding sentinel).
+    """
+    marg125_log = np.asarray(marg125_log, dtype=np.float64)
+    q5_log = np.asarray(q5_log, dtype=np.float64)
+    batch = marg125_log.shape[:-1]
+    Mp = np.exp(marg125_log)
+    qp = np.exp(q5_log)
+    coefs = term_coefs(eps)
+
+    out = np.zeros(batch + (NFRAGS + 1,), dtype=np.float64)
+    for length in range(1, 6):
+        frags = _enumerate_frags(length)  # [F, length]
+        fragx = np.concatenate(
+            [frags, np.full((frags.shape[0], 1), 4, dtype=frags.dtype)], axis=1
+        )  # extra col: index `length` holds the q/M sentinel 4
+        marg_sel, ins_sel, cls = TERMS[length]
+        # marg index per (term, frag)
+        sel = np.where(marg_sel < 0, length, marg_sel)  # ANY -> sentinel col
+        zabc = fragx[:, sel]  # [F, T, 3]
+        midx = zabc[..., 0] * 25 + zabc[..., 1] * 5 + zabc[..., 2]  # [F, T]
+        isel = np.where(ins_sel < 0, length, ins_sel)
+        iidx = fragx[:, isel]  # [F, T, 2]
+        coef = np.array([coefs[c] for c in cls])  # [T]
+
+        contrib = (
+            coef
+            * qp[..., iidx[..., 0]]
+            * qp[..., iidx[..., 1]]
+            * Mp[..., midx]
+        )  # [..., F, T]
+        probs = np.sum(contrib, axis=-1)
+        with np.errstate(divide="ignore"):
+            off = FRAG_OFFSET[length]
+            out[..., off : off + frags.shape[0]] = np.log(probs)
+    out[..., FRAG_SENTINEL] = -np.inf
+    return out
+
+
+def loglik_given_codon(
+    frag: np.ndarray, q5_log: np.ndarray, eps: float
+) -> np.ndarray:
+    """log P(Z | codon) for all 64 codons; [..., 64].
+
+    The conditional counterpart of ``fragment_table`` (replaces
+    imm_frame_cond_loglik).  ``frag`` is an int array of length 1..5.
+    """
+    frag = np.asarray(frag)
+    length = len(frag)
+    q5_log = np.asarray(q5_log, dtype=np.float64)
+    qp = np.exp(q5_log)
+    coefs = term_coefs(eps)
+    marg_sel, ins_sel, cls = TERMS[length]
+
+    codons = _enumerate_frags(3)  # [64, 3]
+    fragx = np.concatenate([frag, [4]]).astype(np.int64)
+
+    total = np.zeros(q5_log.shape[:-1] + (64,), dtype=np.float64)
+    for t in range(marg_sel.shape[0]):
+        coef = coefs[cls[t]]
+        # indicator: for each codon position p with pattern obs index s:
+        # codon[p] must equal frag[s]
+        match = np.ones(64, dtype=np.float64)
+        for p in range(3):
+            s = marg_sel[t, p]
+            if s != ANY:
+                match = match * (codons[:, p] == frag[s])
+        qfac = 1.0
+        for k in range(2):
+            i = ins_sel[t, k]
+            if i != NO_INS:
+                qfac = qfac * qp[..., frag[i]]
+        total = total + coef * qfac * match
+    with np.errstate(divide="ignore"):
+        return np.log(total)
+
+
+def decode_codon(
+    frag: np.ndarray, codon_lprobs: np.ndarray, q5_log: np.ndarray, eps: float
+) -> tuple[int, int, int]:
+    """Most probable intended codon for an observed fragment.
+
+    argmax over codons of p(codon) * p(Z | codon) — the posterior-mode codon
+    (replaces imm_frame_cond_decode as used by protein_profile_decode,
+    src/model/protein_profile.c:306-331).
+    """
+    post = np.asarray(codon_lprobs, dtype=np.float64) + loglik_given_codon(
+        frag, q5_log, eps
+    )
+    best = int(np.argmax(post))
+    return best // 16, (best // 4) % 4, best % 4

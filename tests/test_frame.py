@@ -1,0 +1,106 @@
+"""Frame-state emission model invariants.
+
+The strongest available correctness anchor (the reference's formulas live in
+the unavailable imm sources): the emission model must be a proper probability
+distribution over variable-length fragments, both marginally and conditioned
+on every codon, for any codon distribution and epsilon.
+"""
+
+import numpy as np
+import pytest
+
+from deciphon_tpu.models import frame
+from deciphon_tpu.models.alphabet import STANDARD_CODE
+
+
+@pytest.fixture(scope="module")
+def dists():
+    rng = np.random.default_rng(42)
+    out = []
+    for _ in range(3):
+        a = rng.random(20)
+        lp = np.log(a / a.sum())
+        codonp = frame.codon_lprob_from_amino(lp)
+        q = frame.q5_pad(frame.nuclt_lprob_from_codon(codonp))
+        M = frame.codon_marg(codonp)
+        out.append((codonp, q, M))
+    return out
+
+
+def test_codon_lift_normalized(dists):
+    for codonp, q, M in dists:
+        assert np.isclose(np.exp(codonp).sum(), 1.0)
+        # stop codons have zero probability
+        stops = STANDARD_CODE.aa_of < 0
+        assert np.all(np.isneginf(codonp[stops]))
+        assert np.isclose(np.exp(q[:4]).sum(), 1.0)
+        assert q[4] == 0.0
+        # the all-any marginal is 1
+        assert np.isclose(np.exp(M[124]), 1.0)
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.01, 0.1, 0.5])
+def test_fragment_table_normalized(dists, eps):
+    for codonp, q, M in dists:
+        F = frame.fragment_table(M, q, eps)
+        assert F.shape == (1365,)
+        assert np.isneginf(F[frame.FRAG_SENTINEL])
+        assert np.isclose(np.exp(F[:-1]).sum(), 1.0, atol=1e-12)
+        if eps == 0.0:
+            # no indels: only length-3 fragments possible
+            mask = np.zeros(1364, dtype=bool)
+            mask[frame.FRAG_OFFSET[3]:frame.FRAG_OFFSET[4]] = True
+            assert np.exp(F[:-1])[~mask].sum() == 0.0
+
+
+def test_conditional_normalized(dists):
+    codonp, q, M = dists[0]
+    eps = 0.2
+    total = np.zeros(64)
+    for ln in range(1, 6):
+        for fr in frame._enumerate_frags(ln):
+            total += np.exp(frame.loglik_given_codon(fr, q, eps))
+    assert np.allclose(total, 1.0, atol=1e-9)
+
+
+def test_marginal_consistent_with_conditional(dists):
+    """p(Z) == sum_x p(x) p(Z|x): the table path and the conditional path
+    implement the same model."""
+    codonp, q, M = dists[1]
+    eps = 0.1
+    F = frame.fragment_table(M, q, eps)
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        ln = int(rng.integers(1, 6))
+        fr = rng.integers(0, 4, ln)
+        direct = np.exp(F[frame.frag_index(fr)])
+        via_cond = np.exp(
+            codonp + frame.loglik_given_codon(fr, q, eps)
+        ).sum()
+        assert np.isclose(direct, via_cond, rtol=1e-12)
+
+
+def test_batched_fragment_table(dists):
+    codonp, q, M = dists[0]
+    Ms = np.stack([d[2] for d in dists])
+    qs = np.stack([d[1] for d in dists])
+    Fb = frame.fragment_table(Ms, qs, 0.05)
+    for i, (codonp, q, M) in enumerate(dists):
+        F = frame.fragment_table(M, q, 0.05)
+        assert np.allclose(Fb[i], F)
+
+
+def test_decode_recovers_exact_codon(dists):
+    codonp, q, M = dists[0]
+    fr = np.array([0, 3, 2])  # "ATG"
+    a, b, c = frame.decode_codon(fr, codonp, q, 0.01)
+    assert (a, b, c) == (0, 3, 2)
+
+
+def test_frag_index_layout():
+    assert frame.frag_index(np.array([0])) == 0
+    assert frame.frag_index(np.array([3])) == 3
+    assert frame.frag_index(np.array([0, 0])) == 4
+    assert frame.frag_index(np.array([3, 3])) == 19
+    assert frame.frag_index(np.array([0, 0, 0])) == 20
+    assert frame.frag_index(np.array([3, 3, 3, 3, 3])) == 1363
