@@ -3,9 +3,17 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the
 # multi-chip path; benches run on the real chip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# NB: this environment preloads jax at interpreter startup (sitecustomize)
+# with JAX_PLATFORMS pinned to the TPU tunnel, so plain env vars are too
+# late here — use jax.config before any backend is initialized.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
