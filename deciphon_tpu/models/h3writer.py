@@ -55,25 +55,45 @@ def write_h3(fp, profiles: list[H3Profile] | H3Profile) -> None:
         fp.write("//\n")
 
 
-def random_h3(seed: int, core_size: int, name: str = "") -> H3Profile:
-    """Synthetic but HMMER-shaped profile for tests and benchmarks."""
+def random_h3(
+    seed: int, core_size: int, name: str = "", peak: float = 0.0
+) -> H3Profile:
+    """Synthetic but HMMER-shaped profile for tests and benchmarks.
+
+    ``peak`` > 0 concentrates each match distribution on one random amino
+    acid (peak = its probability mass), making the profile informative the
+    way a real Pfam match column is; 0 keeps flat random distributions.
+    """
     rng = np.random.default_rng(seed)
 
     def dist(n):
         a = rng.random(n) + 1e-3
         return np.log(a / a.sum())
 
-    match = np.stack([dist(20) for _ in range(core_size)])
+    def match_dist():
+        lp = dist(20)
+        if peak > 0:
+            p = np.exp(lp) * (1.0 - peak)
+            p[rng.integers(0, 20)] += peak
+            lp = np.log(p / p.sum())
+        return lp
+
+    match = np.stack([match_dist() for _ in range(core_size)])
     inserts = np.stack([dist(20) for _ in range(core_size)])
     trans = []
     for i in range(core_size + 1):
-        row = dist(7)
+        # realistic HMMER-like transition masses (match-dominated), jittered
+        mm = 0.9 + 0.08 * rng.random()
+        mi = (1 - mm) * rng.random()
+        md = 1 - mm - mi
+        im = 0.7 + 0.2 * rng.random()
+        dm = 0.7 + 0.2 * rng.random()
+        row = np.log(np.array([mm, mi, md, im, 1 - im, dm, 1 - dm]))
         if i == 0:
             row[6] = -np.inf  # no D0 -> D1
         if i == core_size:
             row[2] = -np.inf  # no M -> D_{K+1}
             row[6] = -np.inf
-        row = row - np.log(np.exp(row[np.isfinite(row)]).sum())
         trans.append(row)
     cons = "".join(
         AMINO.symbols[int(np.argmax(match[k]))].lower() for k in range(core_size)

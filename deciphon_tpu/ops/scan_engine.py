@@ -1,0 +1,181 @@
+"""Batched scan engine: sequences x profile-database -> LRT hits + products.
+
+The compute core of the scan workload, replacing the reference's per-thread
+rescan loop (src/server/scan.c:227-258 + scan_thread.c:86-129) with a
+two-pass batched design:
+
+  pass 1 (hot, device): profiles grouped into padded core-size buckets and
+    chunked into blocks resident in device memory; sequences grouped into
+    padded length buckets; every (seq, profile) pair scored by the batched
+    JAX/Pallas Viterbi; LRT filter (xmath.h:236-247, threshold 10.0 per
+    scan.c:221).
+  pass 2 (rare, host): only LRT survivors are re-run with traceback (numpy
+    oracle) and decoded into match strings — hits are rare by construction,
+    mirroring the reference's gate placement (scan_thread.c:121-129).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from deciphon_tpu.db.format import TensorDB
+from deciphon_tpu.db.partition import bucket_by_core_size
+from deciphon_tpu.models import codec
+from deciphon_tpu.models.alphabet import DNA
+from deciphon_tpu.ops import viterbi_jax as vj
+from deciphon_tpu.ops import viterbi_ref as vr
+from deciphon_tpu.ops.emissions import fragment_indices
+
+
+@dataclass(frozen=True)
+class ScanParams:
+    """Mirrors sched_scan flags + the scan threshold (scan.c:221)."""
+
+    multi_hits: bool = True
+    hmmer3_compat: bool = False
+    lrt_threshold: float = 10.0
+
+
+@dataclass
+class SeqRecord:
+    seq_id: int
+    name: str
+    data: str
+
+
+@dataclass
+class Hit:
+    seq_id: int
+    seq_idx: int
+    profile_idx: int
+    accession: str
+    alt_loglik: float
+    null_loglik: float
+    lrt: float
+    path: list[tuple[int, int]]
+    match: str
+
+
+def pad_seq_len(L: int, step: int = 64) -> int:
+    """Pad sequence length to a bucket boundary (power-of-two steps below
+    ``step``, multiples of ``step`` above)."""
+    if L <= 16:
+        return 16
+    if L <= step:
+        p = 16
+        while p < L:
+            p *= 2
+        return p
+    return ((L + step - 1) // step) * step
+
+
+class ScanEngine:
+    """Scans sequences against a TensorDB."""
+
+    def __init__(
+        self,
+        db: TensorDB,
+        params: ScanParams = ScanParams(),
+        block_size: int = 64,
+        lane: int = 128,
+        progress=None,
+    ):
+        self.db = db
+        self.params = params
+        self.block_size = block_size
+        self.progress = progress
+        self._blocks: list[tuple[np.ndarray, vj.ProfileBlock | None, int]] = []
+        for kpad, idxs in bucket_by_core_size(db.core_sizes, lane).items():
+            for i in range(0, len(idxs), block_size):
+                chunk = idxs[i : i + block_size]
+                self._blocks.append([chunk, None, kpad])
+
+    def _block(self, entry) -> vj.ProfileBlock:
+        chunk, block, kpad = entry
+        if block is None:
+            profiles = [self.db.profile(int(i)) for i in chunk]
+            block = vj.build_profile_block(profiles, kpad=kpad)
+            entry[1] = block
+        return block
+
+    def scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
+        """Score all (seq, profile) pairs; return LRT-passing hits with
+        traceback + decoded match strings, ordered (seq, profile)."""
+        # length-bucket the sequences
+        by_len: dict[int, list[int]] = {}
+        encoded = []
+        for si, rec in enumerate(seqs):
+            enc = DNA.encode(rec.data)
+            if np.any(enc >= 4):
+                raise ValueError(
+                    f"sequence {rec.seq_id} contains ambiguous symbols"
+                )
+            encoded.append(enc)
+            by_len.setdefault(pad_seq_len(len(enc)), []).append(si)
+
+        hits: list[Hit] = []
+        p = self.params
+        for lp, seq_ids in sorted(by_len.items()):
+            eidx = np.stack(
+                [
+                    vj.end_fragment_indices(
+                        fragment_indices(encoded[si], pad_to=lp)
+                    )
+                    for si in seq_ids
+                ]
+            )
+            slen = np.array([len(encoded[si]) for si in seq_ids], np.int32)
+            for entry in self._blocks:
+                chunk = entry[0]
+                block = self._block(entry)
+                alt, null = vj.viterbi_scores(
+                    block, eidx, slen,
+                    multi_hits=p.multi_hits,
+                    hmmer3_compat=p.hmmer3_compat,
+                )
+                alt = np.asarray(alt, dtype=np.float64)
+                null = np.asarray(null, dtype=np.float64)
+                lrt = -2.0 * (null - alt)
+                ok = np.isfinite(lrt) & (lrt >= p.lrt_threshold)
+                ok &= alt > vj.NEG / 2
+                if self.progress is not None:
+                    self.progress.consume(len(seq_ids) * len(chunk))
+                for si_local, bi in np.argwhere(ok):
+                    si = seq_ids[int(si_local)]
+                    gi = int(chunk[int(bi)])
+                    hits.append(
+                        self._traceback(
+                            seqs[si], si, encoded[si], gi,
+                            float(alt[si_local, bi]),
+                            float(null[si_local, bi]),
+                            float(lrt[si_local, bi]),
+                        )
+                    )
+        hits.sort(key=lambda h: (h.seq_idx, h.profile_idx))
+        return hits
+
+    def _traceback(
+        self, rec: SeqRecord, si: int, enc: np.ndarray, profile_idx: int,
+        alt: float, null: float, lrt: float,
+    ) -> Hit:
+        prof = self.db.profile(profile_idx)
+        res = vr.viterbi_alt(
+            prof, enc,
+            multi_hits=self.params.multi_hits,
+            hmmer3_compat=self.params.hmmer3_compat,
+        )
+        match = codec.render_match(codec.match_steps(prof, rec.data, res.path))
+        return Hit(
+            seq_id=rec.seq_id,
+            seq_idx=si,
+            profile_idx=profile_idx,
+            accession=prof.accession,
+            alt_loglik=alt,
+            null_loglik=null,
+            lrt=lrt,
+            path=res.path,
+            match=match,
+        )
