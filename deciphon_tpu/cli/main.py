@@ -1,0 +1,143 @@
+"""dcp-tpu command line.
+
+``serve`` is the reference's dcp-server daemon (src/cli/cli_server.c:133-183:
+.env config, scheduler poll loop).  ``press``/``scan``/``info`` are local
+conveniences the reference routes through the scheduler instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from deciphon_tpu.utils import logging as log
+
+
+def cmd_serve(args) -> int:
+    from deciphon_tpu.server.daemon import Server
+    from deciphon_tpu.utils.config import ServerConfig
+
+    cfg = ServerConfig.from_env(args.env)
+    cfg.single_run = args.single_run
+    if args.cache_dir:
+        cfg.cache_dir = args.cache_dir
+    server = Server(cfg)
+    server.install_signal_handler()
+    server.run()
+    return 0
+
+
+def cmd_press(args) -> int:
+    from deciphon_tpu.db.format import write_db
+    from deciphon_tpu.models.h3reader import press_file
+    from deciphon_tpu.models.profile import (
+        ENTRY_DIST_OCCUPANCY,
+        ENTRY_DIST_UNIFORM,
+        ProteinCfg,
+    )
+
+    out = args.output or args.hmm.rsplit(".", 1)[0] + ".dtp"
+    cfg = ProteinCfg(
+        entry_dist=(
+            ENTRY_DIST_UNIFORM if args.uniform_entry else ENTRY_DIST_OCCUPANCY
+        ),
+        epsilon=args.epsilon,
+    )
+    n = 0
+    from deciphon_tpu.db.format import write_db as _write
+
+    def gen():
+        nonlocal n
+        for p in press_file(args.hmm, cfg):
+            n += 1
+            if n % 100 == 0:
+                log.info("pressed %d profiles", n)
+            yield p
+
+    _write(out, gen())
+    print(f"pressed {n} profiles -> {out}")
+    return 0
+
+
+def cmd_scan(args) -> int:
+    from deciphon_tpu.db.format import TensorDB
+    from deciphon_tpu.ops.scan_engine import ScanEngine, ScanParams, SeqRecord
+    from deciphon_tpu.server.prod import ProdWriter
+    from deciphon_tpu.utils.fasta import read_fasta
+
+    db = TensorDB.load(args.db)
+    engine = ScanEngine(
+        db,
+        ScanParams(
+            multi_hits=not args.no_multi_hits,
+            hmmer3_compat=args.hmmer3_compat,
+            lrt_threshold=args.lrt_threshold,
+        ),
+    )
+    seqs = [
+        SeqRecord(i + 1, name, data)
+        for i, (name, data) in enumerate(read_fasta(args.fasta))
+    ]
+    hits = engine.scan(seqs)
+    writer = ProdWriter(scan_id=0)
+    for h in hits:
+        writer.add(h.seq_id, h.accession, h.alt_loglik, h.null_loglik, h.match)
+    out = args.output or "prods.tsv"
+    writer.write(out)
+    print(f"{len(hits)} hits from {len(seqs)} seqs x "
+          f"{db.nprofiles} profiles -> {out}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from deciphon_tpu.db.format import TensorDB
+
+    db = TensorDB.load(args.db)
+    h = db.header
+    print(f"profiles:   {db.nprofiles}")
+    print(f"type:       {h['profile_typeid']}")
+    print(f"entry_dist: {h['entry_dist']}")
+    print(f"epsilon:    {h['epsilon']}")
+    print(f"nodes:      {int(db.core_sizes.sum())} "
+          f"(min {int(db.core_sizes.min())}, "
+          f"max {int(db.core_sizes.max())})")
+    return 0
+
+
+def main(argv=None) -> int:
+    log.setup()
+    ap = argparse.ArgumentParser(prog="dcp-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("serve", help="run the scheduler-polling worker")
+    p.add_argument("--env", default=".env")
+    p.add_argument("--cache-dir", default="")
+    p.add_argument("--single-run", action="store_true")
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("press", help="compile a HMMER3 .hmm into a .dtp db")
+    p.add_argument("hmm")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--epsilon", type=float, default=0.01)
+    p.add_argument("--uniform-entry", action="store_true")
+    p.set_defaults(fn=cmd_press)
+
+    p = sub.add_parser("scan", help="scan FASTA reads against a .dtp db")
+    p.add_argument("db")
+    p.add_argument("fasta")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--lrt-threshold", type=float, default=10.0)
+    p.add_argument("--no-multi-hits", action="store_true")
+    p.add_argument("--hmmer3-compat", action="store_true")
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("info", help="describe a .dtp database")
+    p.add_argument("db")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,171 @@
+"""Worker daemon: poll the scheduler, claim jobs, run press/scan workloads.
+
+The runtime half of the reference's dcp-server (src/server/server.c:61-100
+poll loop, src/server/job.c dispatch, src/server/hmm.c press workload,
+src/server/scan.c scan workload), with the scan compute re-based on the
+batched TPU engine instead of per-thread file partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import tempfile
+import time
+
+from deciphon_tpu.db.format import TensorDB, write_db
+from deciphon_tpu.models.h3reader import count_profiles, press_file
+from deciphon_tpu.models.profile import ProteinCfg
+from deciphon_tpu.ops.scan_engine import ScanEngine, ScanParams, SeqRecord
+from deciphon_tpu.server.api import SchedAPI
+from deciphon_tpu.server.prod import ProdWriter
+from deciphon_tpu.server.sched import JobState, JobType, SchedJob
+from deciphon_tpu.utils import logging as log
+from deciphon_tpu.utils import xfile
+from deciphon_tpu.utils.config import ServerConfig
+from deciphon_tpu.utils.progress import Progress
+from deciphon_tpu.utils.rc import DcpError, EndOfData
+
+
+class Server:
+    def __init__(self, cfg: ServerConfig, api: SchedAPI | None = None):
+        self.cfg = cfg
+        self.api = api or SchedAPI(cfg.api_url, cfg.api_key)
+        self._interrupt = False
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def install_signal_handler(self) -> None:
+        """SIGINT drains gracefully (reference: server.c:24-33)."""
+
+        def handler(signum, frame):
+            log.info("Terminating it...")
+            self._interrupt = True
+
+        signal.signal(signal.SIGINT, handler)
+
+    def run(self) -> None:
+        """Poll loop (reference: server_run, server.c:61-100)."""
+        log.info("Starting the server (%d workers)", self.cfg.num_workers)
+        if self.cfg.single_run:
+            self._interrupt = True
+        while True:
+            had_error = False
+            try:
+                ran = self.run_one()
+                if not ran and not self._interrupt:
+                    time.sleep(1.0 / self.cfg.polling_rate_hz)
+            except DcpError as exc:
+                log.error("job loop error: %s", exc)
+                had_error = True
+            if had_error and not self._interrupt:
+                log.info("Backing off for %gs due to error",
+                         self.cfg.error_backoff_s)
+                time.sleep(self.cfg.error_backoff_s)
+            if self._interrupt:
+                break
+        log.info("Goodbye!")
+
+    def run_one(self) -> bool:
+        """Claim and run at most one job; returns True if one ran."""
+        try:
+            job = self.api.next_pend_job()
+        except EndOfData:
+            return False
+        self.api.set_job_state(job.id, JobState.RUN)
+        log.info("Running job[%d]", job.id)
+        try:
+            if job.type == JobType.HMM:
+                self._press(job)
+            elif job.type == JobType.SCAN:
+                self._scan(job)
+            else:
+                raise DcpError(3, f"unknown job type {job.type}")
+        except Exception as exc:  # noqa: BLE001 — job granular failure
+            msg = str(exc) or type(exc).__name__
+            log.error("Failed job[%d]: %s", job.id, msg)
+            self.api.set_job_state(job.id, JobState.FAIL, msg[:255])
+            return True
+        log.info("Finished job[%d]", job.id)
+        return True
+
+    # -- workloads ---------------------------------------------------------
+
+    def _cache_path(self, filename: str) -> str:
+        return os.path.join(self.cfg.cache_dir, os.path.basename(filename))
+
+    def _press(self, job: SchedJob) -> None:
+        """Press workload (reference: hmm_press, src/server/hmm.c:120-178)."""
+        hmm = self.api.get_hmm_by_job_id(job.id)
+        path = self._cache_path(hmm.filename)
+        xfile.ensure_local(
+            path, hmm.xxh3,
+            lambda p, h: self.api.download_hmm(hmm.id, p),
+        )
+        nprofs = count_profiles(path)
+        if nprofs <= 0:
+            raise DcpError(2, "failed to count profiles")
+
+        db_path = os.path.splitext(path)[0] + ".dtp"
+        progress = Progress(
+            nprofs,
+            callback=lambda inc: self.api.increment_job_progress(job.id, inc),
+        )
+
+        def profiles():
+            for p in press_file(path, ProteinCfg()):
+                yield p
+                progress.consume(1)
+
+        write_db(db_path, profiles())
+        progress.finish()
+        log.info("Uploading pressed file")
+        self.api.upload_db(db_path)
+        self.api.set_job_state(job.id, JobState.DONE)
+
+    def _scan(self, job: SchedJob) -> None:
+        """Scan workload (reference: scan_run, src/server/scan.c:215-269)."""
+        scan = self.api.get_scan_by_job_id(job.id)
+        db_meta = self.api.get_db(scan.db_id)
+        path = self._cache_path(db_meta.filename)
+        xfile.ensure_local(
+            path, db_meta.xxh3,
+            lambda p, h: self.api.download_db(db_meta.id, p),
+        )
+        db = TensorDB.load(path)
+        seqs = self.api.scan_seqs(scan.id)
+        total = len(seqs) * db.nprofiles
+        log.info("%d tasks to run", total)
+        progress = Progress(
+            total,
+            callback=lambda inc: self.api.increment_job_progress(job.id, inc),
+        )
+        engine = ScanEngine(
+            db,
+            ScanParams(
+                multi_hits=bool(scan.multi_hits),
+                hmmer3_compat=bool(scan.hmmer3_compat),
+                lrt_threshold=self.cfg.scan_lrt_threshold,
+            ),
+            progress=progress,
+        )
+        hits = engine.scan(
+            [SeqRecord(s.id, s.name, s.data) for s in seqs]
+        )
+        progress.finish()
+        writer = ProdWriter(scan_id=scan.id)
+        for h in hits:
+            writer.add(
+                h.seq_id, h.accession, h.alt_loglik, h.null_loglik, h.match
+            )
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".tsv", delete=False
+        ) as fp:
+            fp.write(writer.render())
+            prods_path = fp.name
+        try:
+            self.api.upload_prods_file(prods_path)
+        finally:
+            os.unlink(prods_path)
+        self.api.set_job_state(job.id, JobState.DONE)

@@ -1,0 +1,140 @@
+"""Full job lifecycle through the fake scheduler over real HTTP:
+upload .hmm -> press job -> .dtp uploaded -> scan job -> products TSV.
+
+This is the test the reference could not run without a live deciphon-sched
+deployment (its test/sched.c + test/server.c are disabled).
+"""
+
+import numpy as np
+import pytest
+
+from deciphon_tpu.db.format import TensorDB
+from deciphon_tpu.models.h3writer import random_h3, write_h3
+from deciphon_tpu.server.api import SchedAPI
+from deciphon_tpu.server.daemon import Server
+from deciphon_tpu.server.fake_sched import FakeScheduler
+from deciphon_tpu.server.prod import HEADER
+from deciphon_tpu.server.sched import JobState, JobType
+from deciphon_tpu.utils.config import ServerConfig
+from deciphon_tpu.utils.progress import Progress
+from deciphon_tpu.utils.rc import EndOfData
+
+
+@pytest.fixture()
+def sched(tmp_path):
+    fake = FakeScheduler(spool_dir=str(tmp_path / "spool"))
+    url = fake.serve()
+    yield fake, url
+    fake.shutdown()
+
+
+@pytest.fixture()
+def worker(sched, tmp_path):
+    fake, url = sched
+    cfg = ServerConfig(
+        cache_dir=str(tmp_path / "cache"), api_url=url, single_run=True
+    )
+    return Server(cfg, SchedAPI(url))
+
+
+def _hmm_bytes():
+    import io
+
+    buf = io.StringIO()
+    write_h3(buf, [random_h3(s, k, peak=0.9) for s, k in [(1, 4), (2, 7)]])
+    return buf.getvalue().encode()
+
+
+def test_progress_meter():
+    fired = []
+    p = Progress(1000, callback=fired.append)
+    p.consume(5)  # below one meter unit: no callback
+    assert fired == []
+    p.consume(5)  # 10/1000 -> 1%
+    assert fired == [1]
+    p.consume(490)
+    assert sum(fired) == 50
+    p.finish()
+    assert sum(fired) == 100
+
+
+def test_api_reachable_and_wipe(sched):
+    fake, url = sched
+    api = SchedAPI(url)
+    assert api.is_reachable()
+    fake.add_hmm("x.hmm", b"data")
+    api.wipe()
+    assert fake.jobs == {}
+    bad = SchedAPI("http://127.0.0.1:1")
+    assert not bad.is_reachable()
+
+
+def test_idle_queue_raises_end(sched):
+    fake, url = sched
+    api = SchedAPI(url)
+    with pytest.raises(EndOfData):
+        api.next_pend_job()
+
+
+def test_press_job_lifecycle(sched, worker):
+    fake, url = sched
+    api = worker.api
+    hmm = api.upload_hmm_bytes = None  # not part of API; use fake directly
+    hmm = fake.add_hmm("synth.hmm", _hmm_bytes())
+    job = api.next_pend_job()
+    assert job.type == JobType.HMM
+
+    assert worker.run_one()
+    job = fake.jobs[hmm.job_id]
+    assert job.state == "done", job.error
+    assert job.progress == 100
+    # a .dtp db was uploaded back
+    assert len(fake.dbs) == 1
+    db_meta = next(iter(fake.dbs.values()))
+    assert db_meta.filename.endswith(".dtp")
+    db = TensorDB.load(fake.files[db_meta.filename])
+    assert db.nprofiles == 2
+
+
+def test_full_press_then_scan_lifecycle(sched, worker):
+    fake, url = sched
+    hmm = fake.add_hmm("synth.hmm", _hmm_bytes())
+    assert worker.run_one()  # press
+    db_meta = next(iter(fake.dbs.values()))
+
+    # plant a consensus read for profile 1 (core 7 -> 21nt)
+    db = TensorDB.load(fake.files[db_meta.filename])
+    prof = db.profile(1)
+    from tests.test_scan_engine import consensus_dna
+
+    read = consensus_dna(prof)
+    scan = fake.add_scan(
+        db_meta.id,
+        [("planted", read), ("noise", "ACGTACGTACGTACGTACGT")],
+    )
+    assert worker.run_one()  # scan
+    job = fake.jobs[scan.job_id]
+    assert job.state == "done", job.error
+    assert job.progress == 100
+    assert len(fake.products) == 1
+    tsv = fake.products[0]
+    lines = tsv.splitlines()
+    assert lines[0] + "\n" == HEADER
+    assert len(lines) >= 2
+    hit_cols = lines[1].split("\t")
+    assert hit_cols[0] == str(scan.id)
+    assert hit_cols[2] == prof.accession
+
+    # queue drained
+    assert not worker.run_one()
+
+
+def test_scan_job_failure_reported(sched, worker):
+    fake, url = sched
+    # a scan job pointing at a db record whose file is corrupt
+    db_meta = fake.add_db("bad.dtp", b"not a database")
+    scan = fake.add_scan(db_meta.id, [("s", "ACGT")])
+    assert worker.run_one()
+    job = fake.jobs[scan.job_id]
+    assert job.state == "fail"
+    assert job.error != ""
