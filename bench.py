@@ -1,0 +1,169 @@
+"""Scan-throughput benchmark.
+
+Measures the hot path — batched null+alt codon-frame Viterbi over a
+profile block — on the default JAX backend (the real TPU chip under the
+driver; CPU if forced) and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Cell-updates are counted HMMER-GCUPS-style on *unpadded* sizes:
+  cells = nseqs x nprofiles x seq_len x core_size x 3 (M/I/D) x 2 (null+alt
+  hypotheses share the scan, counted once: x1).
+
+The reference publishes no performance numbers (BASELINE.md), so
+vs_baseline compares against this host's JAX-CPU run of the same engine —
+a stand-in for the reference's optimized-C CPU worker on these shapes —
+measured once and cached in benchmarks/cpu_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks",
+    "cpu_baseline.json",
+)
+
+# Pfam-like shapes, sized to finish fast even over a tunneled chip.
+NPROFILES = int(os.environ.get("BENCH_NPROFILES", 64))
+CORE_SIZE = int(os.environ.get("BENCH_CORE_SIZE", 128))
+NSEQS = int(os.environ.get("BENCH_NSEQS", 32))
+SEQ_LEN = int(os.environ.get("BENCH_SEQ_LEN", 384))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+
+def build_problem():
+    import jax
+
+    from deciphon_tpu.models.alphabet import DNA
+    from deciphon_tpu.models.h3reader import build_profile
+    from deciphon_tpu.models.h3writer import random_h3
+    from deciphon_tpu.ops import viterbi_jax as vj
+    from deciphon_tpu.ops.emissions import fragment_indices
+
+    rng = np.random.default_rng(0)
+    profiles = [
+        build_profile(random_h3(s + 1, CORE_SIZE, peak=0.8))
+        for s in range(NPROFILES)
+    ]
+    block = vj.build_profile_block(profiles)
+    seqs = ["".join(rng.choice(list("ACGT"), SEQ_LEN)) for _ in range(NSEQS)]
+    eidx = np.stack(
+        [
+            vj.end_fragment_indices(
+                fragment_indices(DNA.encode(s), pad_to=SEQ_LEN)
+            )
+            for s in seqs
+        ]
+    )
+    slen = np.array([len(s) for s in seqs], np.int32)
+    return block, jax.numpy.asarray(eidx), jax.numpy.asarray(slen)
+
+
+def run_engine(block, eidx, slen, repeats=REPEATS):
+    import jax
+
+    from deciphon_tpu.ops import viterbi_jax as vj
+
+    def sync(out):
+        # device-to-host scalar transfer: a hard completion barrier even
+        # under remote-execution relays where block_until_ready can
+        # under-report
+        return float(np.asarray(out[0][0, 0]))
+
+    # warmup/compile
+    out = vj.viterbi_scores(block, eidx, slen)
+    sync(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = vj.viterbi_scores(block, eidx, slen)
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def cells() -> float:
+    return float(NSEQS) * NPROFILES * SEQ_LEN * CORE_SIZE * 3
+
+
+def measure_cpu_baseline() -> float:
+    """CUPS of the same engine pinned to CPU, cached across runs."""
+    if os.path.exists(CPU_BASELINE_PATH):
+        with open(CPU_BASELINE_PATH) as fp:
+            cached = json.load(fp)
+        if cached.get("shape") == [NPROFILES, CORE_SIZE, NSEQS, SEQ_LEN]:
+            return float(cached["cups"])
+    import subprocess
+
+    code = (
+        "import jax, json; jax.config.update('jax_platforms','cpu');"
+        "import bench; b,e,s = bench.build_problem();"
+        "dt,_ = bench.run_engine(b,e,s,repeats=1);"
+        "print(json.dumps({'cups': bench.cells()/dt}))"
+    )
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    cups = float(json.loads(line)["cups"])
+    os.makedirs(os.path.dirname(CPU_BASELINE_PATH), exist_ok=True)
+    with open(CPU_BASELINE_PATH, "w") as fp:
+        json.dump(
+            {
+                "cups": cups,
+                "shape": [NPROFILES, CORE_SIZE, NSEQS, SEQ_LEN],
+            },
+            fp,
+        )
+    return cups
+
+
+def main() -> None:
+    import jax
+
+    block, eidx, slen = build_problem()
+    dt, _ = run_engine(block, eidx, slen)
+    cups = cells() / dt
+    backend = jax.default_backend()
+    try:
+        if backend == "cpu":
+            base = cups
+        else:
+            base = measure_cpu_baseline()
+        vs = cups / base
+    except Exception:  # noqa: BLE001 — baseline is best-effort
+        vs = 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "viterbi_cell_updates_per_sec",
+                "value": cups,
+                "unit": "CUPS",
+                "vs_baseline": vs,
+                "detail": {
+                    "backend": backend,
+                    "nprofiles": NPROFILES,
+                    "core_size": CORE_SIZE,
+                    "nseqs": NSEQS,
+                    "seq_len": SEQ_LEN,
+                    "seconds": dt,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
