@@ -1,0 +1,70 @@
+"""Pallas kernel vs the JAX engine, in interpreter mode on CPU.
+
+On real TPU hardware the same kernel matches the JAX engine to f32
+tolerance (6e-5 on the bench shapes) — see benchmarks/ and bench.py.
+"""
+
+import numpy as np
+import pytest
+
+from deciphon_tpu.models.alphabet import DNA
+from deciphon_tpu.models.profile import sample_profile
+from deciphon_tpu.ops import viterbi_jax as vj
+from deciphon_tpu.ops import viterbi_pallas as vp
+from deciphon_tpu.ops.emissions import fragment_indices
+
+SEQS = ["ATGAAACGCATTAGCACC", "ACGT", "TTTCCCGGGAAA"]
+LP = 24
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # 20 profiles spanning two GROUP=16 groups, with padding in the tail
+    profiles = [sample_profile(s + 1, (s % 7) + 2) for s in range(20)]
+    block = vj.build_profile_block(profiles, kpad=8)
+    eidx = np.stack(
+        [
+            vj.end_fragment_indices(
+                fragment_indices(DNA.encode(s), pad_to=LP)
+            )
+            for s in SEQS
+        ]
+    )
+    slen = np.array([len(s) for s in SEQS], np.int32)
+    ref = vj.viterbi_scores(block, eidx, slen)
+    return block, eidx, slen, ref
+
+
+def test_interpret_matches_jax_engine(setup):
+    block, eidx, slen, (ref_alt, ref_null) = setup
+    alt, null = vp.viterbi_scores_pallas(block, eidx, slen, interpret=True)
+    assert alt.shape == (3, 20)
+    np.testing.assert_allclose(alt, np.asarray(ref_alt), atol=1e-5)
+    np.testing.assert_allclose(null, np.asarray(ref_null), atol=1e-5)
+
+
+def test_interpret_flags_variant(setup):
+    block, eidx, slen, _ = setup
+    ref_alt, ref_null = vj.viterbi_scores(
+        block, eidx, slen, multi_hits=False, hmmer3_compat=True
+    )
+    alt, null = vp.viterbi_scores_pallas(
+        block, eidx, slen,
+        multi_hits=False, hmmer3_compat=True, interpret=True,
+    )
+    np.testing.assert_allclose(alt, np.asarray(ref_alt), atol=1e-5)
+    np.testing.assert_allclose(null, np.asarray(ref_null), atol=1e-5)
+
+
+def test_pack_block_layout(setup):
+    block, _, _, _ = setup
+    femis_m, femis_i, femis_n, trans, B = vp.pack_block(block)
+    assert B == 20
+    P = femis_m.shape[0]
+    assert P == 2 and femis_m.shape == (2, vp.NTAB, vp.GROUP, 8)
+    # profile 3's fragment table lands at group 0, sublane 3
+    np.testing.assert_array_equal(
+        femis_m[0, :, 3, :], np.asarray(block.fm[3]).T
+    )
+    # padding sublanes are dead
+    assert np.all(femis_m[1, :, 5:, :] <= vj.NEG)
