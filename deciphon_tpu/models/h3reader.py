@@ -196,8 +196,20 @@ def build_profile(
 
 
 def press_file(
-    hmm_path: str, cfg: ProteinCfg = ProteinCfg()
+    hmm_path: str, cfg: ProteinCfg = ProteinCfg(), use_native: bool = True
 ) -> Iterator[ProteinProfile]:
-    """Stream-compile every profile of a .hmm file."""
-    for h3 in read_h3(hmm_path):
+    """Stream-compile every profile of a .hmm file.
+
+    Prefers the C++ tokenizer (deciphon_tpu.native) when its shared library
+    is available; falls back to the pure-Python reader transparently.
+    """
+    reader = read_h3
+    if use_native:
+        try:  # lazy import: native.h3parse imports this module
+            from deciphon_tpu.native.h3parse import read_h3_native
+
+            reader = read_h3_native
+        except Exception:  # noqa: BLE001 — fallback always works
+            pass
+    for h3 in reader(hmm_path):
         yield build_profile(h3, cfg)
