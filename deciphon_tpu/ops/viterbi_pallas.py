@@ -2,25 +2,28 @@
 
 The speed-of-light path for the scan hot loop (replaces imm_dp_viterbi,
 reference src/server/scan_thread.c:115-118).  One kernel instance scores
-GROUP profiles (VPU sublanes) x K core nodes (VPU lanes) against one
-sequence; the grid runs (profile-groups x sequences) with the sequence axis
-innermost so each group's fragment tables stay VMEM-resident across the
-whole read batch — the direct fix for the reference's
+GROUP profiles (sublanes) x K core nodes (lanes) x NSEQ sequences (stacked
+leading dim) in lockstep; the grid runs (profile-groups x seq-groups) with
+sequences innermost so each group's fragment tables stay VMEM-resident
+across the whole read batch — the direct fix for the reference's
 re-read-the-DB-per-sequence design (scan_thread.c:96-99).
 
-Layout decisions (see /opt/skills/guides/pallas_guide.md):
+Performance notes (measured on v5e; see git history for the ablations):
+  - cross-lane rotates (pltpu.roll) dominate the DP step: the D-chain
+    prefix-cummax is log2(K) serial rolls per position.  Rolls have a
+    large fixed cost, so NSEQ sequences are STACKED into one [NSEQ, GROUP,
+    K] array and every roll/max processes all of them at once;
   - match fragment tables femis_m[1365, GROUP, K] are DMA'd manually into
-    a persistent VMEM scratch once per profile group (single-buffered —
-    they are too big to double-buffer at GROUP=16), so per-position
-    emission lookup is one dynamic row slice femis[idx] -> [GROUP, K];
-  - the 5-position DP lookback is register-rotated loop carries (static
-    addressing), with the lane-shifted copies of VM/VI/VD precomputed once
-    per position instead of per lookback length;
-  - the mute D-chain prefix-max runs as log2(K) lane-shift maxes;
+    a persistent VMEM scratch once per profile group (single-buffered);
+    per-position emission lookup is a dynamic row slice per sequence;
+  - the 5-position DP lookback uses compile-time ring slots via a
+    5-position-unrolled chunk loop (no dynamic ring indexing), with the
+    lane-shifted copies of VM/VI/VD stored at write time;
+  - final scores are captured with a running where(i == seq_len) select
+    instead of per-position predicated stores;
   - sequence fragment indices are DMA'd to SMEM so row indices are scalar
-    reads;
-  - special-state transitions are recomputed per sequence from its length
-    inside the kernel (protein_profile_setup semantics,
+    reads; special-state transitions are recomputed per sequence from its
+    length in-kernel (protein_profile_setup semantics,
     src/model/protein_profile.c:155-216).
 """
 
@@ -38,10 +41,11 @@ from deciphon_tpu.models.frame import FRAG_SENTINEL
 from deciphon_tpu.ops.viterbi_jax import NEG, ProfileBlock
 
 GROUP = 16  # profiles per kernel instance (sublane dim)
+NSEQ = 8  # sequences per kernel instance (stacked leading dim)
 NTAB = FRAG_SENTINEL + 1  # 1365 fragment rows incl. -inf sentinel
 
 # trans plane order in the packed [P, NPLANES, GROUP, K] tensor
-(P_ENTRY, P_MM, P_IM, P_DM, P_MI, P_II, P_ABASE, P_CDD) = range(8)
+(P_ENTRY, P_MM_OUT, P_IM_OUT, P_DM_OUT, P_MI, P_II, P_ABASE, P_CDD) = range(8)
 NPLANES = 8
 
 
@@ -64,25 +68,25 @@ def _cummax_lanes(x, k: int):
 
 
 def _kernel(
-    seqinfo_ref,  # HBM [S, 1, W] int32: flattened eidx + seq_len
+    seqinfo_ref,  # HBM [SG, 1, NSEQ*W] int32: per-seq eidx + seq_len
     femis_m_hbm,  # HBM [P, NTAB, GROUP, K]
     femis_i_ref,  # VMEM [1, NTAB, GROUP]
     femis_n_ref,  # VMEM [1, NTAB, GROUP]
     trans_ref,  # VMEM [1, NPLANES, GROUP, K]
-    alt_ref,  # VMEM [1, S, GROUP]
-    null_ref,  # VMEM [1, S, GROUP]
+    alt_ref,  # VMEM [1, SG, NSEQ, GROUP]
+    null_ref,  # VMEM [1, SG, NSEQ, GROUP]
     femis_m,  # scratch VMEM [NTAB, GROUP, K] (persists across grid steps)
-    ring_m,  # scratch VMEM [5, GROUP, K]: VM (unshifted, feeds M->I)
-    ring_ms,  # scratch VMEM [5, GROUP, K]: VM lane-shifted (feeds M->M)
-    ring_i,  # scratch VMEM [5, GROUP, K]: VI (unshifted, feeds I->I)
-    ring_is,  # scratch VMEM [5, GROUP, K]: VI lane-shifted (feeds I->M)
-    ring_ds,  # scratch VMEM [5, GROUP, K]: VD lane-shifted (feeds D->M)
-    ring_s,  # scratch VMEM [5, 8, GROUP]: specials
-    eidx_smem,  # scratch SMEM [1, W] int32
+    ring_cs,  # scratch VMEM [5, NSEQ, GROUP, K]: lane-shifted
+    #   max(VM+mm_out, VI+im_out, VD+dm_out) — the whole core in-flow
+    ring_ic,  # scratch VMEM [5, NSEQ, GROUP, K]: max(VM+mi, VI+ii)
+    ring_s,  # scratch VMEM [5, 8, NSEQ, GROUP]: specials
+    out_acc,  # scratch VMEM [2, NSEQ, GROUP]: running (alt, null) capture
+    eidx_smem,  # scratch SMEM [1, NSEQ*W] int32
     femis_sem,
     eidx_sem,
     *,
     L: int,
+    W: int,
     K: int,
     multi_hits: bool,
     hmmer3_compat: bool,
@@ -108,9 +112,8 @@ def _kernel(
 
     eidx_dma.wait()
 
-    # special-state transitions from the sequence length
-    seq_len = eidx_smem[0, L * 5]
-    Lf = seq_len.astype(jnp.float32)
+    # per-sequence special transitions from each sequence length
+    # (protein_profile_setup closed forms)
     if multi_hits:
         q = 0.5
         log_q = float(np.log(0.5))
@@ -119,76 +122,79 @@ def _kernel(
         q = 0.0
         log_q = NEG
         log_1q = 0.0
-    denom = jnp.log(Lf + 2.0 + q / (1.0 - q))
-    t_NN = jnp.log(Lf) - denom
-    t_NB = jnp.log(2.0 + q / (1.0 - q)) - denom
-    t_RR = jnp.log(Lf) - jnp.log(Lf + 1.0)
-    if hmmer3_compat:
-        t_NN = jnp.float32(0.0)
+
+    seq_lens = [eidx_smem[0, qq * W + L * 5] for qq in range(NSEQ)]
+
+    def specials_of(slen):
+        Lf = slen.astype(jnp.float32)
+        denom = jnp.log(Lf + 2.0 + q / (1.0 - q))
+        nn = jnp.log(Lf) - denom
+        nb = jnp.log(2.0 + q / (1.0 - q)) - denom
+        rr = jnp.log(Lf) - jnp.log(Lf + 1.0)
+        if hmmer3_compat:
+            nn = jnp.float32(0.0)
+        return nn, nb, rr
+
+    sp_list = [specials_of(s) for s in seq_lens]
+    # [NSEQ, 1] column vectors broadcasting against [NSEQ, GROUP]
+    t_NN = jnp.stack([s[0] for s in sp_list])[:, None]
+    t_NB = jnp.stack([s[1] for s in sp_list])[:, None]
+    t_RR = jnp.stack([s[2] for s in sp_list])[:, None]
     t_CC = t_JJ = t_NN
     t_CT = t_JB = t_NB
     t_EJ = jnp.float32(log_q)
     t_EC = jnp.float32(log_1q)
+    seq_len_vec = jnp.stack(seq_lens)[:, None]  # [NSEQ, 1] int32
 
     entry = trans_ref[0, P_ENTRY]
-    mm_in = trans_ref[0, P_MM]
-    im_in = trans_ref[0, P_IM]
-    dm_in = trans_ref[0, P_DM]
+    mm_out = trans_ref[0, P_MM_OUT]
+    im_out = trans_ref[0, P_IM_OUT]
+    dm_out = trans_ref[0, P_DM_OUT]
     mi = trans_ref[0, P_MI]
     ii = trans_ref[0, P_II]
     a_base = trans_ref[0, P_ABASE]
     cdd = trans_ref[0, P_CDD]
 
-    negk = jnp.full((GROUP, K), NEG, dtype=jnp.float32)
-    negg = jnp.full((GROUP,), NEG, dtype=jnp.float32)
+    negk = jnp.full((NSEQ, GROUP, K), NEG, dtype=jnp.float32)
+    negg = jnp.full((NSEQ, GROUP), NEG, dtype=jnp.float32)
     for slot in range(5):
-        ring_m[slot] = negk
-        ring_ms[slot] = negk
-        ring_i[slot] = negk
-        ring_is[slot] = negk
-        ring_ds[slot] = negk
-        ring_s[slot] = jnp.full((8, GROUP), NEG, dtype=jnp.float32)
+        ring_cs[slot] = negk
+        ring_ic[slot] = negk
+        ring_s[slot] = jnp.full((8, NSEQ, GROUP), NEG, dtype=jnp.float32)
+    out_acc[0] = negg
+    out_acc[1] = negg
 
     # specials row ids inside ring_s
     S_B, S_N, S_J, S_C, S_E, S_R = range(6)
 
     def position(i, j):
-        """One DP position; j = i mod 5 is compile-time, so every ring
-        access below uses a static slot."""
+        """One DP position for all NSEQ sequences; j = i mod 5 is
+        compile-time so every ring access uses a static slot."""
         accM = negk
         accI = negk
         accN = negg
         accJ = negg
         accC = negg
         accR = negg
-        # hoist all emission loads so the VMEM latency overlaps compute
-        idxs = [eidx_smem[0, (i - 1) * 5 + (l - 1)] for l in range(1, 6)]
-        em_ms = [femis_m[idx] for idx in idxs]  # [GROUP, K] x5
-        em_is = [femis_i_ref[0, idx] for idx in idxs]  # [GROUP] x5
-        em_ns = [femis_n_ref[0, idx] for idx in idxs]  # [GROUP] x5
         for l in range(1, 6):
             slot = (j - l) % 5
-            em_m = em_ms[l - 1]
-            em_i = em_is[l - 1]
-            em_n = em_ns[l - 1]
+            idxs = [
+                eidx_smem[0, qq * W + (i - 1) * 5 + (l - 1)]
+                for qq in range(NSEQ)
+            ]
+            em_m = jnp.stack([femis_m[idx] for idx in idxs])
+            em_i = jnp.stack([femis_i_ref[0, idx] for idx in idxs])
+            em_n = jnp.stack([femis_n_ref[0, idx] for idx in idxs])
             from_start = (l == i)  # position i-l == 0
-            sp = ring_s[slot]
+            sp = ring_s[slot]  # [8, NSEQ, GROUP]
             prevB = jnp.where(from_start, t_NB, sp[S_B])
 
             cand = jnp.maximum(
-                prevB[:, None] + entry,
-                jnp.maximum(
-                    ring_ms[slot] + mm_in,
-                    jnp.maximum(
-                        ring_is[slot] + im_in, ring_ds[slot] + dm_in
-                    ),
-                ),
+                prevB[:, :, None] + entry, ring_cs[slot]
             )
             accM = jnp.maximum(accM, cand + em_m)
             accI = jnp.maximum(
-                accI,
-                jnp.maximum(ring_m[slot] + mi, ring_i[slot] + ii)
-                + em_i[:, None],
+                accI, ring_ic[slot] + em_i[:, :, None]
             )
             start0 = jnp.where(from_start, 0.0, NEG)
             accN = jnp.maximum(
@@ -211,23 +217,24 @@ def _kernel(
         b = _cummax_lanes(a, K)
         VD = jnp.maximum(cdd + _shift_lanes(b, 1), NEG)
 
-        VE = jnp.max(jnp.maximum(accM, VD), axis=-1)  # [GROUP]
+        VE = jnp.max(jnp.maximum(accM, VD), axis=-1)  # [NSEQ, GROUP]
         VB = jnp.maximum(
             accN + t_NB,
             jnp.maximum(VE + t_EJ + t_JB, accJ + t_JB),
         )
         VT = jnp.maximum(VE + t_EC + t_CT, accC + t_CT)
 
-        @pl.when(i == seq_len)
-        def _():
-            alt_ref[0, s_id, :] = VT
-            null_ref[0, s_id, :] = accR
+        hit_end = i == seq_len_vec  # [NSEQ, 1]
+        out_acc[0] = jnp.where(hit_end, VT, out_acc[0])
+        out_acc[1] = jnp.where(hit_end, accR, out_acc[1])
 
-        ring_m[j] = accM
-        ring_ms[j] = _shift_lanes(accM, 1)
-        ring_i[j] = accI
-        ring_is[j] = _shift_lanes(accI, 1)
-        ring_ds[j] = _shift_lanes(VD, 1)
+        core = jnp.maximum(
+            accM + mm_out,
+            jnp.maximum(accI + im_out, VD + dm_out),
+        )
+        ring_cs[j] = _shift_lanes(core, 1)
+        ring_ic[j] = jnp.maximum(accM + mi, accI + ii)
+        # ordering matches the S_B..S_R row ids
         ring_s[j] = jnp.stack(
             [VB, accN, accJ, accC, VE, accR, negg, negg], axis=0
         )
@@ -242,6 +249,9 @@ def _kernel(
     # emissions read zero-filled eidx (a real fragment index) but outputs
     # are only captured at i == seq_len <= L
     jax.lax.fori_loop(0, nchunks, chunk, (), unroll=False)
+
+    alt_ref[0, s_id] = out_acc[0]
+    null_ref[0, s_id] = out_acc[1]
 
 
 def pack_block(block: ProfileBlock):
@@ -285,10 +295,17 @@ def pack_block(block: ProfileBlock):
     cdd_next = np.concatenate([cdd[:, 1:], cdd[:, -1:]], axis=1)
     a_base = np.maximum(md_next - cdd_next, NEG)
 
+    def out_of(name):
+        # destination-indexed trans[k] (from node k-1) -> source-indexed
+        a = arrK(name)
+        return np.concatenate(
+            [a[:, 1:], np.full((Bp, 1), NEG, np.float32)], axis=1
+        )
+
     planes = np.stack(
         [
-            arrK("entry"), arrK("mm_in"), arrK("im_in"), arrK("dm_in"),
-            arrK("mi"), arrK("ii"), a_base, cdd,
+            arrK("entry"), out_of("mm_in"), out_of("im_in"),
+            out_of("dm_in"), arrK("mi"), arrK("ii"), a_base, cdd,
         ],
         axis=1,
     )  # [Bp, NPLANES, K]
@@ -299,24 +316,23 @@ def pack_block(block: ProfileBlock):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "multi_hits", "hmmer3_compat", "interpret", "L", "K", "P",
+        "multi_hits", "hmmer3_compat", "interpret", "L", "W", "K", "P",
     ),
 )
 def _run(
     femis_m, femis_i, femis_n, trans, seqinfo,
-    *, L: int, K: int, P: int,
+    *, L: int, W: int, K: int, P: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
 ):
-    S = seqinfo.shape[0]
-    W = seqinfo.shape[-1]
+    SG = seqinfo.shape[0]
     kernel = functools.partial(
-        _kernel, L=L, K=K,
+        _kernel, L=L, W=W, K=K,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
     )
-    grid = (P, S)
+    grid = (P, SG)
     out_shape = [
-        jax.ShapeDtypeStruct((P, S, GROUP), jnp.float32),
-        jax.ShapeDtypeStruct((P, S, GROUP), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, NSEQ, GROUP), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, NSEQ, GROUP), jnp.float32),
     ]
     alt, null = pl.pallas_call(
         kernel,
@@ -340,23 +356,21 @@ def _run(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, S, GROUP), lambda p, s: (p, 0, 0),
+                (1, SG, NSEQ, GROUP), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, S, GROUP), lambda p, s: (p, 0, 0),
+                (1, SG, NSEQ, GROUP), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((NTAB, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, 8, GROUP), jnp.float32),
-            pltpu.SMEM((1, W), jnp.int32),
+            pltpu.VMEM((5, NSEQ, GROUP, K), jnp.float32),
+            pltpu.VMEM((5, NSEQ, GROUP, K), jnp.float32),
+            pltpu.VMEM((5, 8, NSEQ, GROUP), jnp.float32),
+            pltpu.VMEM((2, NSEQ, GROUP), jnp.float32),
+            pltpu.SMEM((1, NSEQ * W), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -365,17 +379,24 @@ def _run(
     return alt, null
 
 
-def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray) -> np.ndarray:
+def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray):
     """Pack [S, L, 5] end-fragment indices + lengths into the kernel's
-    lane-aligned [S, 1, W] int32 layout (seq_len stored at flat index L*5)."""
+    [SG, 1, NSEQ*W] layout (NSEQ sequences per row; each sequence's
+    seq_len lives at its flat offset L*5).  Returns (seqinfo, W, S)."""
     eidx = np.asarray(eidx, np.int32)
     S, L, five = eidx.shape
     assert five == 5
-    W = ((L * 5 + 40 + 127) // 128) * 128  # margin for the 5-position chunking
-    seqinfo = np.zeros((S, 1, W), np.int32)
-    seqinfo[:, 0, : L * 5] = eidx.reshape(S, L * 5)
-    seqinfo[:, 0, L * 5] = np.asarray(seq_len, np.int32)
-    return seqinfo
+    W = ((L * 5 + 40 + 127) // 128) * 128  # margin for 5-pos chunking
+    Sp = ((S + NSEQ - 1) // NSEQ) * NSEQ
+    SG = Sp // NSEQ
+    seqinfo = np.zeros((SG, NSEQ, W), np.int32)
+    flat = eidx.reshape(S, L * 5)
+    lens = np.asarray(seq_len, np.int32)
+    for s in range(S):
+        seqinfo[s // NSEQ, s % NSEQ, : L * 5] = flat[s]
+        seqinfo[s // NSEQ, s % NSEQ, L * 5] = lens[s]
+    # padding sequences: seq_len 0 never captures output
+    return seqinfo.reshape(SG, 1, NSEQ * W), W, S
 
 
 class PallasBlock:
@@ -395,6 +416,8 @@ class PallasBlock:
         self,
         seqinfo,
         seq_pad_len: int,
+        width: int,
+        nseqs: int,
         multi_hits: bool = True,
         hmmer3_compat: bool = False,
         interpret: bool = False,
@@ -403,16 +426,20 @@ class PallasBlock:
         alt, null = _run(
             self.femis_m, self.femis_i, self.femis_n, self.trans,
             seqinfo,
-            L=seq_pad_len, K=self.kpad, P=self.ngroups,
+            L=seq_pad_len, W=width, K=self.kpad, P=self.ngroups,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret,
         )
-        S = seqinfo.shape[0]
-        # [P, S, GROUP] -> [S, P*GROUP] -> trim group padding
-        alt = jnp.transpose(alt, (1, 0, 2)).reshape(S, -1)[:, : self.nprofiles]
-        null = jnp.transpose(null, (1, 0, 2)).reshape(S, -1)[
-            :, : self.nprofiles
-        ]
+        # [P, SG, NSEQ, GROUP] -> [S, B]
+        P, SG = alt.shape[0], alt.shape[1]
+        alt = (
+            jnp.transpose(alt, (1, 2, 0, 3))
+            .reshape(SG * NSEQ, P * GROUP)[:nseqs, : self.nprofiles]
+        )
+        null = (
+            jnp.transpose(null, (1, 2, 0, 3))
+            .reshape(SG * NSEQ, P * GROUP)[:nseqs, : self.nprofiles]
+        )
         return alt, null
 
 
@@ -431,9 +458,9 @@ def viterbi_scores_pallas(
     """
     pb = PallasBlock(block)
     L = np.asarray(eidx).shape[1]
-    seqinfo = jnp.asarray(make_seqinfo(eidx, seq_len))
+    seqinfo, W, S = make_seqinfo(eidx, seq_len)
     alt, null = pb.scores(
-        seqinfo, L,
+        jnp.asarray(seqinfo), L, W, S,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         interpret=interpret,
     )
