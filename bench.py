@@ -32,11 +32,16 @@ CPU_BASELINE_PATH = os.path.join(
 )
 
 # Pfam-like shapes, sized to finish fast even over a tunneled chip.
-NPROFILES = int(os.environ.get("BENCH_NPROFILES", 64))
+NPROFILES = int(os.environ.get("BENCH_NPROFILES", 256))
 CORE_SIZE = int(os.environ.get("BENCH_CORE_SIZE", 128))
-NSEQS = int(os.environ.get("BENCH_NSEQS", 32))
-SEQ_LEN = int(os.environ.get("BENCH_SEQ_LEN", 384))
+NSEQS = int(os.environ.get("BENCH_NSEQS", 64))
+SEQ_LEN = int(os.environ.get("BENCH_SEQ_LEN", 512))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+# The CPU baseline is a per-cell *rate*, measured once at a fixed small
+# shape (CPU CUPS is shape-insensitive; re-measuring at bench shapes
+# would cost CPU-minutes for the same number).
+BASE_SHAPE = (64, 128, 32, 384)  # nprofiles, core, nseqs, seq_len
 
 
 def build_problem():
@@ -67,10 +72,33 @@ def build_problem():
     return block, jax.numpy.asarray(eidx), jax.numpy.asarray(slen)
 
 
-def run_engine(block, eidx, slen, repeats=REPEATS):
+INNER = int(os.environ.get("BENCH_INNER", 8))
+
+
+def run_engine(block, eidx, slen, repeats=REPEATS, use_pallas=None):
+    """Time INNER back-to-back scan dispatches (amortizing relay latency,
+    as a real scan pipelines blocks) and return seconds-per-dispatch."""
     import jax
 
     from deciphon_tpu.ops import viterbi_jax as vj
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas:
+        from deciphon_tpu.ops import viterbi_pallas as vp
+
+        pb = vp.PallasBlock(block)
+        seqinfo, W, S = vp.make_seqinfo(np.asarray(eidx), np.asarray(slen))
+        seqinfo = jax.numpy.asarray(seqinfo)
+
+        def step():
+            return pb.scores(seqinfo, SEQ_LEN, W, S)
+
+    else:
+
+        def step():
+            return vj.viterbi_scores(block, eidx, slen)
 
     def sync(out):
         # device-to-host scalar transfer: a hard completion barrier even
@@ -79,14 +107,15 @@ def run_engine(block, eidx, slen, repeats=REPEATS):
         return float(np.asarray(out[0][0, 0]))
 
     # warmup/compile
-    out = vj.viterbi_scores(block, eidx, slen)
+    out = step()
     sync(out)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = vj.viterbi_scores(block, eidx, slen)
+        for _ in range(INNER):
+            out = step()
         sync(out)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / INNER)
     return min(times), out
 
 
@@ -95,21 +124,26 @@ def cells() -> float:
 
 
 def measure_cpu_baseline() -> float:
-    """CUPS of the same engine pinned to CPU, cached across runs."""
+    """CUPS of the same engine pinned to CPU at BASE_SHAPE, cached."""
     if os.path.exists(CPU_BASELINE_PATH):
         with open(CPU_BASELINE_PATH) as fp:
             cached = json.load(fp)
-        if cached.get("shape") == [NPROFILES, CORE_SIZE, NSEQS, SEQ_LEN]:
+        if cached.get("shape") == list(BASE_SHAPE):
             return float(cached["cups"])
     import subprocess
 
     code = (
         "import jax, json; jax.config.update('jax_platforms','cpu');"
         "import bench; b,e,s = bench.build_problem();"
-        "dt,_ = bench.run_engine(b,e,s,repeats=1);"
+        "dt,_ = bench.run_engine(b,e,s,repeats=1,use_pallas=False);"
         "print(json.dumps({'cups': bench.cells()/dt}))"
     )
     env = dict(os.environ)
+    env["BENCH_NPROFILES"] = str(BASE_SHAPE[0])
+    env["BENCH_CORE_SIZE"] = str(BASE_SHAPE[1])
+    env["BENCH_NSEQS"] = str(BASE_SHAPE[2])
+    env["BENCH_SEQ_LEN"] = str(BASE_SHAPE[3])
+    env["BENCH_INNER"] = "1"
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True, text=True, env=env,
@@ -120,13 +154,7 @@ def measure_cpu_baseline() -> float:
     cups = float(json.loads(line)["cups"])
     os.makedirs(os.path.dirname(CPU_BASELINE_PATH), exist_ok=True)
     with open(CPU_BASELINE_PATH, "w") as fp:
-        json.dump(
-            {
-                "cups": cups,
-                "shape": [NPROFILES, CORE_SIZE, NSEQS, SEQ_LEN],
-            },
-            fp,
-        )
+        json.dump({"cups": cups, "shape": list(BASE_SHAPE)}, fp)
     return cups
 
 

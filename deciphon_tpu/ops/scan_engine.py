@@ -29,6 +29,11 @@ from deciphon_tpu.ops import viterbi_jax as vj
 from deciphon_tpu.ops import viterbi_ref as vr
 from deciphon_tpu.ops.emissions import fragment_indices
 
+# Largest padded core size the Pallas kernel's VMEM-resident fragment
+# table supports (~93 KiB of scratch per core node; 512 -> ~48 MiB).
+# Bigger profiles fall back to the XLA engine.
+PALLAS_MAX_KPAD = 512
+
 
 @dataclass(frozen=True)
 class ScanParams:
@@ -82,24 +87,40 @@ class ScanEngine:
         block_size: int = 64,
         lane: int = 128,
         progress=None,
+        use_pallas: bool | None = None,
+        pallas_interpret: bool = False,
     ):
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
         self.db = db
         self.params = params
         self.block_size = block_size
         self.progress = progress
-        self._blocks: list[tuple[np.ndarray, vj.ProfileBlock | None, int]] = []
+        self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret
+        # entry = [chunk, ProfileBlock|None, kpad, PallasBlock|None]
+        self._blocks: list[list] = []
         for kpad, idxs in bucket_by_core_size(db.core_sizes, lane).items():
             for i in range(0, len(idxs), block_size):
                 chunk = idxs[i : i + block_size]
-                self._blocks.append([chunk, None, kpad])
+                self._blocks.append([chunk, None, kpad, None])
 
     def _block(self, entry) -> vj.ProfileBlock:
-        chunk, block, kpad = entry
+        chunk, block, kpad, _ = entry
         if block is None:
             profiles = [self.db.profile(int(i)) for i in chunk]
             block = vj.build_profile_block(profiles, kpad=kpad)
             entry[1] = block
         return block
+
+    def _pallas_block(self, entry):
+        if entry[3] is None:
+            from deciphon_tpu.ops import viterbi_pallas as vp
+
+            entry[3] = vp.PallasBlock(self._block(entry))
+        return entry[3]
 
     def scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
         """Score all (seq, profile) pairs; return LRT-passing hits with
@@ -128,14 +149,27 @@ class ScanEngine:
                 ]
             )
             slen = np.array([len(encoded[si]) for si in seq_ids], np.int32)
+            seqinfo = None
             for entry in self._blocks:
-                chunk = entry[0]
+                chunk, _, kpad, _ = entry
                 block = self._block(entry)
-                alt, null = vj.viterbi_scores(
-                    block, eidx, slen,
-                    multi_hits=p.multi_hits,
-                    hmmer3_compat=p.hmmer3_compat,
-                )
+                if self.use_pallas and kpad <= PALLAS_MAX_KPAD:
+                    from deciphon_tpu.ops import viterbi_pallas as vp
+
+                    if seqinfo is None:
+                        seqinfo, W, S = vp.make_seqinfo(eidx, slen)
+                    alt, null = self._pallas_block(entry).scores(
+                        seqinfo, lp, W, S,
+                        multi_hits=p.multi_hits,
+                        hmmer3_compat=p.hmmer3_compat,
+                        interpret=self.pallas_interpret,
+                    )
+                else:
+                    alt, null = vj.viterbi_scores(
+                        block, eidx, slen,
+                        multi_hits=p.multi_hits,
+                        hmmer3_compat=p.hmmer3_compat,
+                    )
                 alt = np.asarray(alt, dtype=np.float64)
                 null = np.asarray(null, dtype=np.float64)
                 lrt = -2.0 * (null - alt)

@@ -266,6 +266,15 @@ def pack_block(block: ProfileBlock):
     fn = np.asarray(block.fn, np.float32)
     B, K, ntab = fm.shape
     assert ntab == NTAB
+    # The core axis is the lane (minormost) dim of the HBM->VMEM DMA
+    # blocks, so it must be a whole number of 128-lane tiles on real
+    # hardware.  Sub-128 cores round up for free: a [GROUP, K<128] VMEM
+    # array occupies a full tile either way.
+    Kp = max(128, ((K + 127) // 128) * 128)
+    if Kp != K:
+        fm = np.concatenate(
+            [fm, np.full((B, Kp - K, ntab), NEG, np.float32)], axis=1
+        )
     Bp = ((B + GROUP - 1) // GROUP) * GROUP
     P = Bp // GROUP
 
@@ -275,14 +284,23 @@ def pack_block(block: ProfileBlock):
         pad = np.full((Bp - a.shape[0],) + a.shape[1:], NEG, a.dtype)
         return np.concatenate([a, pad], axis=0)
 
+    def padK(a):
+        # pad a [B, K] per-node vector out to [B, Kp]
+        if a.shape[1] == Kp:
+            return a
+        return np.concatenate(
+            [a, np.full((a.shape[0], Kp - a.shape[1]), NEG, a.dtype)],
+            axis=1,
+        )
+
     femis_m = (
-        padB(fm).reshape(P, GROUP, K, NTAB).transpose(0, 3, 1, 2).copy()
+        padB(fm).reshape(P, GROUP, Kp, NTAB).transpose(0, 3, 1, 2).copy()
     )
     femis_i = padB(fi).reshape(P, GROUP, NTAB).transpose(0, 2, 1).copy()
     femis_n = padB(fn).reshape(P, GROUP, NTAB).transpose(0, 2, 1).copy()
 
     def arrK(name):
-        return padB(np.asarray(getattr(block, name), np.float32))
+        return padK(padB(np.asarray(getattr(block, name), np.float32)))
 
     dd = arrK("dd_in")
     dd_safe = np.maximum(dd, NEG / 1e6)
@@ -309,7 +327,7 @@ def pack_block(block: ProfileBlock):
         ],
         axis=1,
     )  # [Bp, NPLANES, K]
-    trans = planes.reshape(P, GROUP, NPLANES, K).transpose(0, 2, 1, 3).copy()
+    trans = planes.reshape(P, GROUP, NPLANES, Kp).transpose(0, 2, 1, 3).copy()
     return femis_m, femis_i, femis_n, trans, B
 
 

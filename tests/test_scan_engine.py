@@ -85,6 +85,28 @@ def test_scan_finds_planted_hit(db):
             assert len(c) == 3 and len(a) == 1
 
 
+def test_scan_pallas_path_matches_jax(db):
+    """The Pallas dispatch (interpret mode on CPU) agrees with the XLA
+    engine through the full ScanEngine pipeline."""
+    read = consensus_dna(db.profile(2))
+    seqs = [
+        SeqRecord(1, "planted", read),
+        SeqRecord(2, "random", "ACGTACGTACGTACGTACGTACGT"),
+    ]
+    ref = ScanEngine(db, ScanParams(lrt_threshold=10.0)).scan(seqs)
+    got = ScanEngine(
+        db, ScanParams(lrt_threshold=10.0),
+        use_pallas=True, pallas_interpret=True,
+    ).scan(seqs)
+    assert [(h.seq_id, h.profile_idx) for h in got] == [
+        (h.seq_id, h.profile_idx) for h in ref
+    ]
+    for a, b in zip(got, ref):
+        assert a.alt_loglik == pytest.approx(b.alt_loglik, abs=1e-4)
+        assert a.null_loglik == pytest.approx(b.null_loglik, abs=1e-4)
+        assert a.match == b.match
+
+
 def test_scan_threshold_filters(db):
     read = consensus_dna(db.profile(2))
     eng_hi = ScanEngine(db, ScanParams(lrt_threshold=1e9))

@@ -61,10 +61,12 @@ def test_pack_block_layout(setup):
     femis_m, femis_i, femis_n, trans, B = vp.pack_block(block)
     assert B == 20
     P = femis_m.shape[0]
-    assert P == 2 and femis_m.shape == (2, vp.NTAB, vp.GROUP, 8)
+    # core axis rounds up to a whole 128-lane tile (kpad=8 -> 128)
+    assert P == 2 and femis_m.shape == (2, vp.NTAB, vp.GROUP, 128)
     # profile 3's fragment table lands at group 0, sublane 3
     np.testing.assert_array_equal(
-        femis_m[0, :, 3, :], np.asarray(block.fm[3]).T
+        femis_m[0, :, 3, :8], np.asarray(block.fm[3]).T
     )
-    # padding sublanes are dead
+    # padding lanes and sublanes are dead
+    assert np.all(femis_m[0, :, 3, 8:] <= vj.NEG)
     assert np.all(femis_m[1, :, 5:, :] <= vj.NEG)
