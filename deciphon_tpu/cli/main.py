@@ -11,6 +11,7 @@ import argparse
 import sys
 
 from deciphon_tpu.utils import logging as log
+from deciphon_tpu.utils.rc import RC, DcpError
 
 
 def cmd_serve(args) -> int:
@@ -92,6 +93,23 @@ def cmd_scan(args) -> int:
 def cmd_info(args) -> int:
     from deciphon_tpu.db.format import TensorDB
 
+    if args.db.endswith(".dcp"):
+        from deciphon_tpu.db.dcp import read_dcp
+
+        info = read_dcp(args.db)
+        print(f"format:     reference .dcp (magic 0x{info.magic:X})")
+        print(f"profiles:   {info.nprofiles}")
+        print(f"type:       {info.typeid_name}")
+        print(f"float_size: {info.float_size}")
+        print(f"entry_dist: {info.entry_dist_name}")
+        print(f"epsilon:    {info.epsilon}")
+        if info.profiles:
+            ks = [p.core_size for p in info.profiles]
+            print(f"nodes:      {sum(ks)} (min {min(ks)}, max {max(ks)})")
+        print(f"bytes/prof: min {min(info.profile_sizes)}, "
+              f"max {max(info.profile_sizes)}")
+        return 0
+
     db = TensorDB.load(args.db)
     h = db.header
     print(f"profiles:   {db.nprofiles}")
@@ -136,7 +154,22 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    # error boundary: user-level failures become one log line + exit code,
+    # not a traceback (reference couples every error path to a logged rc,
+    # include/deciphon/core/logging.h:116-156)
+    try:
+        return args.fn(args)
+    except DcpError as e:
+        log.error(str(e))
+        return int(e.rc) or 1
+    except (FileNotFoundError, IsADirectoryError, PermissionError) as e:
+        log.error(f"{RC.EIO}: {e}")
+        return int(RC.EIO)
+    except ValueError as e:
+        log.error(f"{RC.EINVAL}: {e}")
+        return int(RC.EINVAL)
+    except KeyboardInterrupt:
+        return 130
 
 
 if __name__ == "__main__":
