@@ -41,7 +41,7 @@ from deciphon_tpu.models.frame import FRAG_SENTINEL
 from deciphon_tpu.ops.viterbi_jax import NEG, ProfileBlock
 
 GROUP = 16  # profiles per kernel instance (sublane dim)
-NSEQ = 8  # sequences per kernel instance (stacked leading dim)
+NSEQ = 32  # default sequences per kernel instance (stacked leading dim)
 NTAB = FRAG_SENTINEL + 1  # 1365 fragment rows incl. -inf sentinel
 
 # trans plane order in the packed [P, NPLANES, GROUP, K] tensor
@@ -53,16 +53,24 @@ def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
-def _shift_lanes(x, sh: int):
-    """Shift +sh along the lane (last) axis, filling with NEG."""
+def _shift_lanes(x, sh: int, negmask=None):
+    """Shift +sh along the lane (last) axis, filling with ~NEG.
+
+    With a precomputed ``negmask`` ([1,1,K]: NEG on lanes < sh, else 0)
+    the fill is a single vector add onto the rolled value instead of
+    iota+compare+select — values are bounded well inside |NEG|, so
+    "rolled + NEG" is as good as -inf to every downstream max."""
     rolled = pltpu.roll(x, shift=sh, axis=x.ndim - 1)
+    if negmask is not None:
+        return rolled + negmask
     return jnp.where(_lane_iota(x.shape) < sh, NEG, rolled)
 
 
-def _cummax_lanes(x, k: int):
+def _cummax_lanes(x, k: int, negmasks=None):
     sh = 1
     while sh < k:
-        x = jnp.maximum(x, _shift_lanes(x, sh))
+        m = negmasks[sh] if negmasks is not None else None
+        x = jnp.maximum(x, _shift_lanes(x, sh, m))
         sh *= 2
     return x
 
@@ -88,6 +96,7 @@ def _kernel(
     L: int,
     W: int,
     K: int,
+    nseq: int,
     multi_hits: bool,
     hmmer3_compat: bool,
 ):
@@ -123,7 +132,7 @@ def _kernel(
         log_q = NEG
         log_1q = 0.0
 
-    seq_lens = [eidx_smem[0, qq * W + L * 5] for qq in range(NSEQ)]
+    seq_lens = [eidx_smem[0, qq * W + L * 5] for qq in range(nseq)]
 
     def specials_of(slen):
         Lf = slen.astype(jnp.float32)
@@ -155,12 +164,24 @@ def _kernel(
     a_base = trans_ref[0, P_ABASE]
     cdd = trans_ref[0, P_CDD]
 
-    negk = jnp.full((NSEQ, GROUP, K), NEG, dtype=jnp.float32)
-    negg = jnp.full((NSEQ, GROUP), NEG, dtype=jnp.float32)
+    negk = jnp.full((nseq, GROUP, K), NEG, dtype=jnp.float32)
+    negg = jnp.full((nseq, GROUP), NEG, dtype=jnp.float32)
+    # loop-invariant additive fill masks for lane shifts (one per power
+    # of two + the write shift); [1,1,K] broadcasts over seqs/sublanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    shifts = {1}
+    sh = 1
+    while sh < K:
+        shifts.add(sh)
+        sh *= 2
+    negmasks = {
+        s: jnp.where(lane < s, jnp.float32(NEG), jnp.float32(0.0))
+        for s in sorted(shifts)
+    }
     for slot in range(5):
         ring_cs[slot] = negk
         ring_ic[slot] = negk
-        ring_s[slot] = jnp.full((8, NSEQ, GROUP), NEG, dtype=jnp.float32)
+        ring_s[slot] = jnp.full((8, nseq, GROUP), NEG, dtype=jnp.float32)
     out_acc[0] = negg
     out_acc[1] = negg
 
@@ -180,7 +201,7 @@ def _kernel(
             slot = (j - l) % 5
             idxs = [
                 eidx_smem[0, qq * W + (i - 1) * 5 + (l - 1)]
-                for qq in range(NSEQ)
+                for qq in range(nseq)
             ]
             em_m = jnp.stack([femis_m[idx] for idx in idxs])
             em_i = jnp.stack([femis_i_ref[0, idx] for idx in idxs])
@@ -214,8 +235,8 @@ def _kernel(
 
         # mute D-chain: VD = cdd + cummax(VM + a_base) shifted by one lane
         a = accM + a_base
-        b = _cummax_lanes(a, K)
-        VD = jnp.maximum(cdd + _shift_lanes(b, 1), NEG)
+        b = _cummax_lanes(a, K, negmasks)
+        VD = jnp.maximum(cdd + _shift_lanes(b, 1, negmasks[1]), NEG)
 
         VE = jnp.max(jnp.maximum(accM, VD), axis=-1)  # [NSEQ, GROUP]
         VB = jnp.maximum(
@@ -232,7 +253,7 @@ def _kernel(
             accM + mm_out,
             jnp.maximum(accI + im_out, VD + dm_out),
         )
-        ring_cs[j] = _shift_lanes(core, 1)
+        ring_cs[j] = _shift_lanes(core, 1, negmasks[1])
         ring_ic[j] = jnp.maximum(accM + mi, accI + ii)
         # ordering matches the S_B..S_R row ids
         ring_s[j] = jnp.stack(
@@ -335,22 +356,23 @@ def pack_block(block: ProfileBlock):
     jax.jit,
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "L", "W", "K", "P",
+        "nseq",
     ),
 )
 def _run(
     femis_m, femis_i, femis_n, trans, seqinfo,
-    *, L: int, W: int, K: int, P: int,
+    *, L: int, W: int, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
 ):
     SG = seqinfo.shape[0]
     kernel = functools.partial(
-        _kernel, L=L, W=W, K=K,
+        _kernel, L=L, W=W, K=K, nseq=nseq,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
     )
     grid = (P, SG)
     out_shape = [
-        jax.ShapeDtypeStruct((P, SG, NSEQ, GROUP), jnp.float32),
-        jax.ShapeDtypeStruct((P, SG, NSEQ, GROUP), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, nseq, GROUP), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, nseq, GROUP), jnp.float32),
     ]
     alt, null = pl.pallas_call(
         kernel,
@@ -374,47 +396,65 @@ def _run(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, SG, NSEQ, GROUP), lambda p, s: (p, 0, 0, 0),
+                (1, SG, nseq, GROUP), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, SG, NSEQ, GROUP), lambda p, s: (p, 0, 0, 0),
+                (1, SG, nseq, GROUP), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((NTAB, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, NSEQ, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, NSEQ, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, 8, NSEQ, GROUP), jnp.float32),
-            pltpu.VMEM((2, NSEQ, GROUP), jnp.float32),
-            pltpu.SMEM((1, NSEQ * W), jnp.int32),
+            pltpu.VMEM((5, nseq, GROUP, K), jnp.float32),
+            pltpu.VMEM((5, nseq, GROUP, K), jnp.float32),
+            pltpu.VMEM((5, 8, nseq, GROUP), jnp.float32),
+            pltpu.VMEM((2, nseq, GROUP), jnp.float32),
+            pltpu.SMEM((1, nseq * W), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the fragment table + DP rings exceed Mosaic's default 16 MiB
+        # scoped-vmem budget once NSEQ*K grows; v5e/v5p have 128 MiB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(seqinfo, femis_m, femis_i, femis_n, trans)
     return alt, null
 
 
-def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray):
+def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:
+    """Smallest supported per-instance sequence stack >= the batch (bigger
+    stacks amortize the cross-lane roll fixed cost; measured on v5e:
+    8->37, 16->43, 32->46.5 GCUPS — but padding a 2-seq batch to 32 would
+    waste 16x)."""
+    n = 8
+    while n < min(nseqs, cap):
+        n *= 2
+    return n
+
+
+def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray, nseq: int = 0):
     """Pack [S, L, 5] end-fragment indices + lengths into the kernel's
-    [SG, 1, NSEQ*W] layout (NSEQ sequences per row; each sequence's
+    [SG, 1, nseq*W] layout (nseq sequences per row; each sequence's
     seq_len lives at its flat offset L*5).  Returns (seqinfo, W, S)."""
     eidx = np.asarray(eidx, np.int32)
     S, L, five = eidx.shape
     assert five == 5
+    if not nseq:
+        nseq = pick_nseq(S)
     W = ((L * 5 + 40 + 127) // 128) * 128  # margin for 5-pos chunking
-    Sp = ((S + NSEQ - 1) // NSEQ) * NSEQ
-    SG = Sp // NSEQ
-    seqinfo = np.zeros((SG, NSEQ, W), np.int32)
+    Sp = ((S + nseq - 1) // nseq) * nseq
+    SG = Sp // nseq
+    seqinfo = np.zeros((SG, nseq, W), np.int32)
     flat = eidx.reshape(S, L * 5)
     lens = np.asarray(seq_len, np.int32)
     for s in range(S):
-        seqinfo[s // NSEQ, s % NSEQ, : L * 5] = flat[s]
-        seqinfo[s // NSEQ, s % NSEQ, L * 5] = lens[s]
+        seqinfo[s // nseq, s % nseq, : L * 5] = flat[s]
+        seqinfo[s // nseq, s % nseq, L * 5] = lens[s]
     # padding sequences: seq_len 0 never captures output
-    return seqinfo.reshape(SG, 1, NSEQ * W), W, S
+    return seqinfo.reshape(SG, 1, nseq * W), W, S
 
 
 class PallasBlock:
@@ -441,22 +481,24 @@ class PallasBlock:
         interpret: bool = False,
     ):
         """(alt [S, B], null [S, B]) device arrays for a packed seq batch."""
+        nseq = seqinfo.shape[2] // width  # layout fixed by make_seqinfo
         alt, null = _run(
             self.femis_m, self.femis_i, self.femis_n, self.trans,
             seqinfo,
             L=seq_pad_len, W=width, K=self.kpad, P=self.ngroups,
+            nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret,
         )
-        # [P, SG, NSEQ, GROUP] -> [S, B]
+        # [P, SG, nseq, GROUP] -> [S, B]
         P, SG = alt.shape[0], alt.shape[1]
         alt = (
             jnp.transpose(alt, (1, 2, 0, 3))
-            .reshape(SG * NSEQ, P * GROUP)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P * GROUP)[:nseqs, : self.nprofiles]
         )
         null = (
             jnp.transpose(null, (1, 2, 0, 3))
-            .reshape(SG * NSEQ, P * GROUP)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P * GROUP)[:nseqs, : self.nprofiles]
         )
         return alt, null
 
