@@ -9,9 +9,10 @@ two-pass batched design:
     padded length buckets; every (seq, profile) pair scored by the batched
     JAX/Pallas Viterbi; LRT filter (xmath.h:236-247, threshold 10.0 per
     scan.c:221).
-  pass 2 (rare, host): only LRT survivors are re-run with traceback (numpy
-    oracle) and decoded into match strings — hits are rare by construction,
-    mirroring the reference's gate placement (scan_thread.c:121-129).
+  pass 2 (rare): only LRT survivors are re-run with traceback — a jitted
+    backpointer DP (ops/viterbi_trace.py, ~5-10x the numpy oracle) — and
+    decoded into match strings; hits are rare by construction, mirroring
+    the reference's gate placement (scan_thread.c:121-129).
 """
 
 from __future__ import annotations
@@ -89,6 +90,7 @@ class ScanEngine:
         progress=None,
         use_pallas: bool | None = None,
         pallas_interpret: bool = False,
+        traceback: str = "jax",  # "jax" (fast) | "oracle" (numpy)
     ):
         if use_pallas is None:
             import jax
@@ -100,12 +102,16 @@ class ScanEngine:
         self.progress = progress
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
+        self.traceback = traceback
         # entry = [chunk, ProfileBlock|None, kpad, PallasBlock|None]
         self._blocks: list[list] = []
+        self._kpad_of: dict[int, int] = {}
         for kpad, idxs in bucket_by_core_size(db.core_sizes, lane).items():
             for i in range(0, len(idxs), block_size):
                 chunk = idxs[i : i + block_size]
                 self._blocks.append([chunk, None, kpad, None])
+                for gi in chunk:
+                    self._kpad_of[int(gi)] = kpad
 
     def _block(self, entry) -> vj.ProfileBlock:
         chunk, block, kpad, _ = entry
@@ -196,11 +202,28 @@ class ScanEngine:
         alt: float, null: float, lrt: float,
     ) -> Hit:
         prof = self.db.profile(profile_idx)
-        res = vr.viterbi_alt(
-            prof, enc,
-            multi_hits=self.params.multi_hits,
-            hmmer3_compat=self.params.hmmer3_compat,
-        )
+        if self.traceback == "oracle":
+            res = vr.viterbi_alt(
+                prof, enc,
+                multi_hits=self.params.multi_hits,
+                hmmer3_compat=self.params.hmmer3_compat,
+            )
+        else:
+            from deciphon_tpu.ops import viterbi_trace as vtr
+
+            # pad nodes to the bucket and positions to the length bucket
+            # so jit compiles once per (kpad, length-bucket) pair
+            res = vtr.viterbi_alt(
+                prof, enc,
+                multi_hits=self.params.multi_hits,
+                hmmer3_compat=self.params.hmmer3_compat,
+                block_row=tuple(
+                    vj.build_profile_block(
+                        [prof], kpad=self._kpad_of[profile_idx]
+                    )
+                ),
+                pad_to=pad_seq_len(len(enc)),
+            )
         match = codec.render_match(codec.match_steps(prof, rec.data, res.path))
         return Hit(
             seq_id=rec.seq_id,
