@@ -78,8 +78,7 @@ def _cummax_lanes(x, k: int, negmasks=None):
 def _kernel(
     seqinfo_ref,  # HBM [SG, 1, NSEQ*W] int32: per-seq eidx + seq_len
     femis_m_hbm,  # HBM [P, NTAB, GROUP, K]
-    femis_i_ref,  # VMEM [1, NTAB, GROUP]
-    femis_n_ref,  # VMEM [1, NTAB, GROUP]
+    femis_in_ref,  # VMEM [1, NTAB, 2, GROUP]: insert + null tables
     trans_ref,  # VMEM [1, NPLANES, GROUP, K]
     alt_ref,  # VMEM [1, SG, NSEQ, GROUP]
     null_ref,  # VMEM [1, SG, NSEQ, GROUP]
@@ -204,8 +203,10 @@ def _kernel(
                 for qq in range(nseq)
             ]
             em_m = jnp.stack([femis_m[idx] for idx in idxs])
-            em_i = jnp.stack([femis_i_ref[0, idx] for idx in idxs])
-            em_n = jnp.stack([femis_n_ref[0, idx] for idx in idxs])
+            # one gather serves both insert and null/special emissions
+            em_in = jnp.stack([femis_in_ref[0, idx] for idx in idxs])
+            em_i = em_in[:, 0]
+            em_n = em_in[:, 1]
             from_start = (l == i)  # position i-l == 0
             sp = ring_s[slot]  # [8, NSEQ, GROUP]
             prevB = jnp.where(from_start, t_NB, sp[S_B])
@@ -278,9 +279,9 @@ def _kernel(
 def pack_block(block: ProfileBlock):
     """Host-side packing of a ProfileBlock into kernel layout.
 
-    Returns (femis_m [P,NTAB,GROUP,K], femis_i [P,NTAB,GROUP],
-    femis_n [P,NTAB,GROUP], trans [P,NPLANES,GROUP,K], B) with the profile
-    axis padded to GROUP multiples.
+    Returns (femis_m [P,NTAB,GROUP,K], femis_in [P,NTAB,2,GROUP]
+    (insert + null tables), trans [P,NPLANES,GROUP,K], B) with the
+    profile axis padded to GROUP multiples.
     """
     fm = np.asarray(block.fm, np.float32)
     fi = np.asarray(block.fi, np.float32)
@@ -317,8 +318,13 @@ def pack_block(block: ProfileBlock):
     femis_m = (
         padB(fm).reshape(P, GROUP, Kp, NTAB).transpose(0, 3, 1, 2).copy()
     )
-    femis_i = padB(fi).reshape(P, GROUP, NTAB).transpose(0, 2, 1).copy()
-    femis_n = padB(fn).reshape(P, GROUP, NTAB).transpose(0, 2, 1).copy()
+    femis_in = np.stack(
+        [
+            padB(fi).reshape(P, GROUP, NTAB).transpose(0, 2, 1),
+            padB(fn).reshape(P, GROUP, NTAB).transpose(0, 2, 1),
+        ],
+        axis=2,
+    ).copy()  # [P, NTAB, 2, GROUP]
 
     def arrK(name):
         return padK(padB(np.asarray(getattr(block, name), np.float32)))
@@ -349,7 +355,7 @@ def pack_block(block: ProfileBlock):
         axis=1,
     )  # [Bp, NPLANES, K]
     trans = planes.reshape(P, GROUP, NPLANES, Kp).transpose(0, 2, 1, 3).copy()
-    return femis_m, femis_i, femis_n, trans, B
+    return femis_m, femis_in, trans, B
 
 
 @functools.partial(
@@ -360,7 +366,7 @@ def pack_block(block: ProfileBlock):
     ),
 )
 def _run(
-    femis_m, femis_i, femis_n, trans, seqinfo,
+    femis_m, femis_in, trans, seqinfo,
     *, L: int, W: int, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
 ):
@@ -382,11 +388,7 @@ def _run(
             pl.BlockSpec(memory_space=pltpu.HBM),  # seqinfo -> SMEM DMA
             pl.BlockSpec(memory_space=pltpu.HBM),  # femis_m -> VMEM DMA
             pl.BlockSpec(
-                (1, NTAB, GROUP), lambda p, s: (p, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, NTAB, GROUP), lambda p, s: (p, 0, 0),
+                (1, NTAB, 2, GROUP), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -420,7 +422,7 @@ def _run(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seqinfo, femis_m, femis_i, femis_n, trans)
+    )(seqinfo, femis_m, femis_in, trans)
     return alt, null
 
 
@@ -461,10 +463,9 @@ class PallasBlock:
     """A profile block packed + resident on device for repeated scans."""
 
     def __init__(self, block: ProfileBlock):
-        femis_m, femis_i, femis_n, trans, B = pack_block(block)
+        femis_m, femis_in, trans, B = pack_block(block)
         self.femis_m = jnp.asarray(femis_m)
-        self.femis_i = jnp.asarray(femis_i)
-        self.femis_n = jnp.asarray(femis_n)
+        self.femis_in = jnp.asarray(femis_in)
         self.trans = jnp.asarray(trans)
         self.nprofiles = B
         self.kpad = femis_m.shape[-1]
@@ -483,7 +484,7 @@ class PallasBlock:
         """(alt [S, B], null [S, B]) device arrays for a packed seq batch."""
         nseq = seqinfo.shape[2] // width  # layout fixed by make_seqinfo
         alt, null = _run(
-            self.femis_m, self.femis_i, self.femis_n, self.trans,
+            self.femis_m, self.femis_in, self.trans,
             seqinfo,
             L=seq_pad_len, W=width, K=self.kpad, P=self.ngroups,
             nseq=nseq,

@@ -58,7 +58,15 @@ def test_interpret_flags_variant(setup):
 
 def test_pack_block_layout(setup):
     block, _, _, _ = setup
-    femis_m, femis_i, femis_n, trans, B = vp.pack_block(block)
+    femis_m, femis_in, trans, B = vp.pack_block(block)
+    # merged insert/null table: [P, NTAB, 2, GROUP]
+    assert femis_in.shape == (2, vp.NTAB, 2, vp.GROUP)
+    np.testing.assert_array_equal(
+        femis_in[0, :, 0, 3], np.asarray(block.fi[3])
+    )
+    np.testing.assert_array_equal(
+        femis_in[0, :, 1, 3], np.asarray(block.fn[3])
+    )
     assert B == 20
     P = femis_m.shape[0]
     # core axis rounds up to a whole 128-lane tile (kpad=8 -> 128)
