@@ -123,6 +123,15 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    # Honor JAX_PLATFORMS even where an interpreter-startup hook
+    # (sitecustomize) pre-pins another platform: env vars are read before
+    # the hook runs, so only jax.config reliably selects the backend.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     log.setup()
     ap = argparse.ArgumentParser(prog="dcp-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -28,6 +28,7 @@ from deciphon_tpu.models import codec
 from deciphon_tpu.models.alphabet import DNA
 from deciphon_tpu.ops import viterbi_jax as vj
 from deciphon_tpu.ops import viterbi_ref as vr
+from deciphon_tpu.utils import trace
 from deciphon_tpu.ops.emissions import fragment_indices
 
 # Largest padded core size the Pallas kernel's VMEM-resident fragment
@@ -130,7 +131,14 @@ class ScanEngine:
 
     def scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
         """Score all (seq, profile) pairs; return LRT-passing hits with
-        traceback + decoded match strings, ordered (seq, profile)."""
+        traceback + decoded match strings, ordered (seq, profile).
+
+        Set DCP_PROFILE_DIR to capture a jax.profiler trace of pass 1;
+        throughput (GCUPS) is logged per scan either way."""
+        with trace.device_trace("scan"):
+            return self._scan(seqs)
+
+    def _scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
         # length-bucket the sequences
         by_len: dict[int, list[int]] = {}
         encoded = []
@@ -145,6 +153,7 @@ class ScanEngine:
 
         hits: list[Hit] = []
         p = self.params
+        counters = trace.ScanCounters()
         for lp, seq_ids in sorted(by_len.items()):
             eidx = np.stack(
                 [
@@ -156,8 +165,12 @@ class ScanEngine:
             )
             slen = np.array([len(encoded[si]) for si in seq_ids], np.int32)
             seqinfo = None
+            len_sum = int(slen.sum())
             for entry in self._blocks:
                 chunk, _, kpad, _ = entry
+                counters.consume(
+                    len_sum, int(self.db.core_sizes[chunk].sum())
+                )
                 block = self._block(entry)
                 if self.use_pallas and kpad <= PALLAS_MAX_KPAD:
                     from deciphon_tpu.ops import viterbi_pallas as vp
@@ -194,6 +207,7 @@ class ScanEngine:
                             float(lrt[si_local, bi]),
                         )
                     )
+        counters.report()
         hits.sort(key=lambda h: (h.seq_idx, h.profile_idx))
         return hits
 

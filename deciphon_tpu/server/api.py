@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 import requests
 
+from deciphon_tpu.utils import trace
 from deciphon_tpu.server.sched import (
     JobState,
     SchedDb,
@@ -47,9 +48,17 @@ class SchedAPI:
         kw.setdefault("timeout", (CONNECT_TIMEOUT_S, TRANSFER_TIMEOUT_S))
         with self._lock:
             try:
-                return self.session.request(method, self.url + path, **kw)
+                resp = self.session.request(method, self.url + path, **kw)
             except requests.RequestException as exc:
                 raise DcpError(RC.EHTTP, f"{method} {path}: {exc}") from exc
+        if trace.http_debug_enabled():
+            trace.log_http(
+                method, path, resp.status_code,
+                len(resp.request.body or b"")
+                if resp.request is not None else 0,
+                len(resp.content),
+            )
+        return resp
 
     @staticmethod
     def _envelope(resp, end_rc: int | None = None) -> dict:

@@ -32,6 +32,10 @@ def setup(level: int = logging.INFO, stream=None) -> None:
     logger.setLevel(level)
 
 
+def debug(msg: str, *args) -> None:
+    logger.debug(msg, *args, stacklevel=2)
+
+
 def info(msg: str, *args) -> None:
     logger.info(msg, *args, stacklevel=2)
 
