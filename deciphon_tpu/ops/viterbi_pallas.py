@@ -181,6 +181,11 @@ def _kernel(
         ring_cs[slot] = negk
         ring_ic[slot] = negk
         ring_s[slot] = jnp.full((8, nseq, GROUP), NEG, dtype=jnp.float32)
+    # the B->M entry term is folded into ring_cs at write time; seed the
+    # virtual position-0 slot with S->B->entry (VB[0] = t_NB).  Mosaic
+    # can't reshape [nseq,1]->[nseq,1,1]; go through [nseq,GROUP] first.
+    vb0 = jnp.broadcast_to(t_NB, (nseq, GROUP))
+    ring_cs[0] = vb0[:, :, None] + entry
     out_acc[0] = negg
     out_acc[1] = negg
 
@@ -209,12 +214,9 @@ def _kernel(
             em_n = em_in[:, 1]
             from_start = (l == i)  # position i-l == 0
             sp = ring_s[slot]  # [8, NSEQ, GROUP]
-            prevB = jnp.where(from_start, t_NB, sp[S_B])
 
-            cand = jnp.maximum(
-                prevB[:, :, None] + entry, ring_cs[slot]
-            )
-            accM = jnp.maximum(accM, cand + em_m)
+            # ring_cs already holds max(core in-flow, B + entry)
+            accM = jnp.maximum(accM, ring_cs[slot] + em_m)
             accI = jnp.maximum(
                 accI, ring_ic[slot] + em_i[:, :, None]
             )
@@ -254,7 +256,10 @@ def _kernel(
             accM + mm_out,
             jnp.maximum(accI + im_out, VD + dm_out),
         )
-        ring_cs[j] = _shift_lanes(core, 1, negmasks[1])
+        ring_cs[j] = jnp.maximum(
+            _shift_lanes(core, 1, negmasks[1]),
+            VB[:, :, None] + entry,
+        )
         ring_ic[j] = jnp.maximum(accM + mi, accI + ii)
         # ordering matches the S_B..S_R row ids
         ring_s[j] = jnp.stack(
