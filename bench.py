@@ -158,11 +158,32 @@ def measure_cpu_baseline() -> float:
     return cups
 
 
+def check_parity(block, eidx, slen, out) -> float:
+    """Guard the reported number: kernel scores must match the XLA engine
+    on a subsample (wrong-answer-fast must fail the bench)."""
+    from deciphon_tpu.ops import viterbi_jax as vj
+
+    sub_e = eidx[:4]
+    sub_l = slen[:4]
+    ref_alt, ref_null = vj.viterbi_scores(block, sub_e, sub_l)
+    alt = np.asarray(out[0])[:4, :]
+    err = float(
+        max(
+            np.abs(alt - np.asarray(ref_alt)).max(),
+            np.abs(np.asarray(out[1])[:4] - np.asarray(ref_null)).max(),
+        )
+    )
+    if err > 1e-2:
+        raise SystemExit(f"bench parity FAILED: max err {err}")
+    return err
+
+
 def main() -> None:
     import jax
 
     block, eidx, slen = build_problem()
-    dt, _ = run_engine(block, eidx, slen)
+    dt, out = run_engine(block, eidx, slen)
+    err = check_parity(block, eidx, slen, out)
     cups = cells() / dt
     backend = jax.default_backend()
     try:
@@ -187,6 +208,7 @@ def main() -> None:
                     "nseqs": NSEQS,
                     "seq_len": SEQ_LEN,
                     "seconds": dt,
+                    "parity_err_vs_xla": err,
                 },
             }
         )
