@@ -195,12 +195,7 @@ def _kernel(
     def position(i, j):
         """One DP position for all NSEQ sequences; j = i mod 5 is
         compile-time so every ring access uses a static slot."""
-        accM = negk
-        accI = negk
-        accN = negg
-        accJ = negg
-        accC = negg
-        accR = negg
+        accM = accI = accN = accJ = accC = accR = None
         for l in range(1, 6):
             slot = (j - l) % 5
             idxs = [
@@ -215,24 +210,26 @@ def _kernel(
             from_start = (l == i)  # position i-l == 0
             sp = ring_s[slot]  # [8, NSEQ, GROUP]
 
+            def acc(prev, cand):
+                # first lookback step assigns; later steps max-accumulate
+                return cand if prev is None else jnp.maximum(prev, cand)
+
             # ring_cs already holds max(core in-flow, B + entry)
-            accM = jnp.maximum(accM, ring_cs[slot] + em_m)
-            accI = jnp.maximum(
-                accI, ring_ic[slot] + em_i[:, :, None]
-            )
+            accM = acc(accM, ring_cs[slot] + em_m)
+            accI = acc(accI, ring_ic[slot] + em_i[:, :, None])
             start0 = jnp.where(from_start, 0.0, NEG)
-            accN = jnp.maximum(
+            accN = acc(
                 accN, jnp.maximum(sp[S_N], start0) + t_NN + em_n
             )
-            accJ = jnp.maximum(
+            accJ = acc(
                 accJ,
                 jnp.maximum(sp[S_E] + t_EJ, sp[S_J]) + t_JJ + em_n,
             )
-            accC = jnp.maximum(
+            accC = acc(
                 accC,
                 jnp.maximum(sp[S_E] + t_EC, sp[S_C]) + t_CC + em_n,
             )
-            accR = jnp.maximum(
+            accR = acc(
                 accR, jnp.maximum(sp[S_R] + t_RR, start0) + em_n
             )
 

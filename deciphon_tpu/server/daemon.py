@@ -124,6 +124,23 @@ class Server:
         self.api.upload_db(db_path)
         self.api.set_job_state(job.id, JobState.DONE)
 
+    def _engine(self, path: str, xxh3: int, params: ScanParams) -> ScanEngine:
+        """LRU of scan engines: repeated scans of the same DB reuse the
+        tensorized profile blocks already resident on device (the fix
+        for the reference's re-read-per-sequence design going one level
+        further: re-use across *jobs*)."""
+        key = (path, xxh3, params)
+        cache = getattr(self, "_engines", None)
+        if cache is None:
+            cache = self._engines = {}
+        if key not in cache:
+            if len(cache) >= 4:  # bound device/host memory
+                cache.pop(next(iter(cache)))
+            cache[key] = ScanEngine(TensorDB.load(path), params)
+        else:  # refresh LRU order
+            cache[key] = cache.pop(key)
+        return cache[key]
+
     def _scan(self, job: SchedJob) -> None:
         """Scan workload (reference: scan_run, src/server/scan.c:215-269)."""
         scan = self.api.get_scan_by_job_id(job.id)
@@ -133,7 +150,13 @@ class Server:
             path, db_meta.xxh3,
             lambda p, h: self.api.download_db(db_meta.id, p),
         )
-        db = TensorDB.load(path)
+        params = ScanParams(
+            multi_hits=bool(scan.multi_hits),
+            hmmer3_compat=bool(scan.hmmer3_compat),
+            lrt_threshold=self.cfg.scan_lrt_threshold,
+        )
+        engine = self._engine(path, db_meta.xxh3, params)
+        db = engine.db
         seqs = self.api.scan_seqs(scan.id)
         total = len(seqs) * db.nprofiles
         log.info("%d tasks to run", total)
@@ -141,15 +164,7 @@ class Server:
             total,
             callback=lambda inc: self.api.increment_job_progress(job.id, inc),
         )
-        engine = ScanEngine(
-            db,
-            ScanParams(
-                multi_hits=bool(scan.multi_hits),
-                hmmer3_compat=bool(scan.hmmer3_compat),
-                lrt_threshold=self.cfg.scan_lrt_threshold,
-            ),
-            progress=progress,
-        )
+        engine.progress = progress
         hits = engine.scan(
             [SeqRecord(s.id, s.name, s.data) for s in seqs]
         )
