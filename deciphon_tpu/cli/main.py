@@ -132,6 +132,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from deciphon_tpu.utils import jaxcache
+
+    jaxcache.enable()
     log.setup()
     ap = argparse.ArgumentParser(prog="dcp-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)

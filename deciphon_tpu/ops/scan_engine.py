@@ -32,9 +32,10 @@ from deciphon_tpu.utils import trace
 from deciphon_tpu.ops.emissions import fragment_indices
 
 # Largest padded core size the Pallas kernel's VMEM-resident fragment
-# table supports (~93 KiB of scratch per core node; 512 -> ~48 MiB).
-# Bigger profiles fall back to the XLA engine.
-PALLAS_MAX_KPAD = 512
+# table supports (~108 KiB of scratch per core node at NSEQ=32; 768 ->
+# ~83 MiB, verified compiling + parity on v5e).  Bigger profiles fall
+# back to the XLA engine.
+PALLAS_MAX_KPAD = 768
 
 
 @dataclass(frozen=True)
@@ -66,17 +67,21 @@ class Hit:
     match: str
 
 
-def pad_seq_len(L: int, step: int = 64) -> int:
-    """Pad sequence length to a bucket boundary (power-of-two steps below
-    ``step``, multiples of ``step`` above)."""
+def pad_seq_len(L: int) -> int:
+    """Pad sequence length to a half-octave bucket boundary {2^k, 1.5*2^k}.
+
+    Every (length bucket, core bucket) pair costs one kernel compile
+    (~30 s on a tunneled chip), so buckets are geometric: <= 33% padded
+    positions (~20% average) in exchange for ~4x fewer compiles than a
+    fixed 64-step grid."""
     if L <= 16:
         return 16
-    if L <= step:
-        p = 16
-        while p < L:
-            p *= 2
-        return p
-    return ((L + step - 1) // step) * step
+    p = 16
+    while p < L:
+        if p * 3 // 2 >= L:
+            return p * 3 // 2
+        p *= 2
+    return p
 
 
 class ScanEngine:
@@ -104,18 +109,26 @@ class ScanEngine:
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
         self.traceback = traceback
-        # entry = [chunk, ProfileBlock|None, kpad, PallasBlock|None]
+        # entry = [chunk, host ProfileBlock|None, kpad, PallasBlock|None,
+        #          device ProfileBlock|None]
         self._blocks: list[list] = []
         self._kpad_of: dict[int, int] = {}
-        for kpad, idxs in bucket_by_core_size(db.core_sizes, lane).items():
+        # The Pallas kernel rounds K up to whole 128-lane tiles anyway, so
+        # on TPU all sub-128 cores share one K=128 bucket — fewer compiles
+        # (one per (kpad, length-bucket) pair) and fuller blocks.
+        core_pad = (
+            np.maximum(db.core_sizes, lane) if use_pallas else db.core_sizes
+        )
+        for kpad, idxs in bucket_by_core_size(core_pad, lane).items():
             for i in range(0, len(idxs), block_size):
                 chunk = idxs[i : i + block_size]
-                self._blocks.append([chunk, None, kpad, None])
+                self._blocks.append([chunk, None, kpad, None, None])
                 for gi in chunk:
                     self._kpad_of[int(gi)] = kpad
 
     def _block(self, entry) -> vj.ProfileBlock:
-        chunk, block, kpad, _ = entry
+        """Host (numpy) tensor block for this chunk."""
+        chunk, block, kpad, _, _ = entry
         if block is None:
             profiles = [self.db.profile(int(i)) for i in chunk]
             block = vj.build_profile_block(profiles, kpad=kpad)
@@ -127,7 +140,18 @@ class ScanEngine:
             from deciphon_tpu.ops import viterbi_pallas as vp
 
             entry[3] = vp.PallasBlock(self._block(entry))
+            entry[1] = None  # host copy no longer needed on this path
         return entry[3]
+
+    def _jax_block(self, entry) -> vj.ProfileBlock:
+        """Device-resident block for the XLA engine path (upload once)."""
+        if entry[4] is None:
+            import jax.numpy as jnp
+
+            entry[4] = vj.ProfileBlock(
+                *(jnp.asarray(a) for a in self._block(entry))
+            )
+        return entry[4]
 
     def scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
         """Score all (seq, profile) pairs; return LRT-passing hits with
@@ -167,11 +191,10 @@ class ScanEngine:
             seqinfo = None
             len_sum = int(slen.sum())
             for entry in self._blocks:
-                chunk, _, kpad, _ = entry
+                chunk, _, kpad, _, _ = entry
                 counters.consume(
                     len_sum, int(self.db.core_sizes[chunk].sum())
                 )
-                block = self._block(entry)
                 if self.use_pallas and kpad <= PALLAS_MAX_KPAD:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
@@ -185,7 +208,7 @@ class ScanEngine:
                     )
                 else:
                     alt, null = vj.viterbi_scores(
-                        block, eidx, slen,
+                        self._jax_block(entry), eidx, slen,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
                     )

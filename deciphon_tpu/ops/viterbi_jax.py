@@ -66,7 +66,13 @@ def _clamp(a: np.ndarray) -> np.ndarray:
 def build_profile_block(
     profiles: list[ProteinProfile], kpad: int | None = None
 ) -> ProfileBlock:
-    """Stack + pad host-side profiles into a device-ready block."""
+    """Stack + pad host-side profiles into a block of HOST (numpy) arrays.
+
+    Kept on host deliberately: each engine uploads its own packed layout
+    exactly once (PallasBlock repacks [B,K,NTAB] -> [P,NTAB,GROUP,K];
+    uploading here first would ship the tables over the interconnect
+    twice and pull them back once — measured 97 s of a Pfam-scale scan's
+    setup on a tunneled chip)."""
     B = len(profiles)
     K = max(p.core_size for p in profiles)
     if kpad is not None:
@@ -96,11 +102,7 @@ def build_profile_block(
         for name in arrs:
             arrs[name][b] = padk(getattr(p, name), -np.inf)
         core[b] = p.core_size
-    return ProfileBlock(
-        fm=jnp.asarray(fm), fi=jnp.asarray(fi), fn=jnp.asarray(fn),
-        core_size=jnp.asarray(core),
-        **{k: jnp.asarray(v) for k, v in arrs.items()},
-    )
+    return ProfileBlock(fm=fm, fi=fi, fn=fn, core_size=core, **arrs)
 
 
 def end_fragment_indices(fidx: np.ndarray) -> np.ndarray:

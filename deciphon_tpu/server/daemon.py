@@ -33,6 +33,9 @@ class Server:
         self.api = api or SchedAPI(cfg.api_url, cfg.api_key)
         self._interrupt = False
         os.makedirs(cfg.cache_dir, exist_ok=True)
+        from deciphon_tpu.utils import jaxcache
+
+        jaxcache.enable()  # survive restarts without recompiling kernels
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -1,0 +1,37 @@
+"""Persistent XLA compilation cache.
+
+Every (core bucket, length bucket) pair costs one kernel compile — tens
+of seconds per compile on a remote-compile TPU relay — so the CLI and the
+daemon enable jax's persistent compilation cache by default: a repeat
+scan of similar shapes skips compilation entirely (measured 197 s -> 3.6 s
+for a cold vs cached kernel on the v5e tunnel).
+
+Override the location with DCP_XLA_CACHE_DIR; set it empty to disable.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable() -> str | None:
+    """Turn on the persistent compilation cache. Returns the dir or None."""
+    cache_dir = os.environ.get(
+        "DCP_XLA_CACHE_DIR",
+        os.path.join(
+            os.environ.get(
+                "XDG_CACHE_HOME",
+                os.path.join(os.path.expanduser("~"), ".cache"),
+            ),
+            "deciphon-tpu",
+            "xla",
+        ),
+    )
+    if not cache_dir:
+        return None
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

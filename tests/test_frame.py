@@ -104,3 +104,20 @@ def test_frag_index_layout():
     assert frame.frag_index(np.array([3, 3])) == 19
     assert frame.frag_index(np.array([0, 0, 0])) == 20
     assert frame.frag_index(np.array([3, 3, 3, 3, 3])) == 1363
+
+
+def test_fragment_matrix_matches_term_loop():
+    """The GEMM form of the fragment scores equals the per-term loop."""
+    rng = np.random.default_rng(11)
+    for eps in (0.01, 0.1):
+        for _ in range(3):
+            marg = rng.random(125)
+            marg /= marg.sum()
+            lmarg = np.log(marg)
+            # sentinel positions (index 4 in any slot) mimic real margs
+            q = rng.random(4)
+            q /= q.sum()
+            lq = np.concatenate([np.log(q), [0.0]])
+            a = frame.fragment_table(lmarg, lq, eps)
+            b = frame.fragment_table_terms(lmarg, lq, eps)
+            np.testing.assert_allclose(a, b, atol=1e-12)

@@ -46,9 +46,15 @@ def db(tmp_path_factory):
 
 def test_pad_seq_len():
     assert pad_seq_len(5) == 16
-    assert pad_seq_len(33) == 64
-    assert pad_seq_len(65) == 128
+    assert pad_seq_len(33) == 48
+    assert pad_seq_len(65) == 96
     assert pad_seq_len(200) == 256
+    assert pad_seq_len(300) == 384
+    assert pad_seq_len(1100) == 1536
+    # half-octave: never more than 50% over, monotone
+    for L in range(1, 4000, 7):
+        p = pad_seq_len(L)
+        assert p >= L and p <= max(16, int(L * 1.5) + 1)
 
 
 def test_scan_finds_planted_hit(db):
