@@ -75,3 +75,14 @@ def name(state_id: int) -> str:
         return _EXT_NAMES[state_id]
     prefix = {MATCH: "M", INSERT: "I", DELETE: "D"}[kind(state_id)]
     return f"{prefix}{node_idx(state_id) + 1}"
+
+
+def standard_name(state_idx: int) -> str:
+    """Name a generic (non-codon) profile state: 'S0', 'S1', ...
+
+    The reference's standard/generic profile kind names states by bare
+    index (src/model/standard_state.c:124-129).  Kept for the typeid-1
+    profile family, which the reference defines but never instantiates
+    from databases (src/db/profile_reader.c:95-98 only builds PROTEIN).
+    """
+    return f"S{state_idx}"

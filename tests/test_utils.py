@@ -93,3 +93,10 @@ def test_dotenv_and_server_config(tmp_path, monkeypatch):
     assert cfg.num_workers == 4
     assert cfg.polling_rate_hz == 2.0  # server.h:15-16 default
     assert cfg.scan_lrt_threshold == 10.0  # scan.c:221
+
+
+def test_standard_state_name():
+    from deciphon_tpu.models import state as st
+
+    assert st.standard_name(0) == "S0"
+    assert st.standard_name(27) == "S27"
