@@ -428,11 +428,21 @@ def _run(
     return alt, null
 
 
-def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:
+# sequence-info SMEM budget per kernel instance: nseq * W * 4 bytes must
+# fit comfortably inside TPU scalar memory (~1 MiB class)
+SMEM_BUDGET_BYTES = 512 * 1024
+
+
+def pick_nseq(nseqs: int, cap: int = NSEQ, seq_pad_len: int = 0) -> int:
     """Smallest supported per-instance sequence stack >= the batch (bigger
     stacks amortize the cross-lane roll fixed cost; measured on v5e:
     8->37, 16->43, 32->46.5 GCUPS — but padding a 2-seq batch to 32 would
-    waste 16x)."""
+    waste 16x).  Long sequences shrink the stack so the per-instance
+    eidx buffer stays within SMEM."""
+    if seq_pad_len:
+        w = ((seq_pad_len * 5 + 40 + 127) // 128) * 128
+        while cap > 8 and cap * w * 4 > SMEM_BUDGET_BYTES:
+            cap //= 2
     n = 8
     while n < min(nseqs, cap):
         n *= 2
@@ -447,7 +457,7 @@ def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray, nseq: int = 0):
     S, L, five = eidx.shape
     assert five == 5
     if not nseq:
-        nseq = pick_nseq(S)
+        nseq = pick_nseq(S, seq_pad_len=L)
     W = ((L * 5 + 40 + 127) // 128) * 128  # margin for 5-pos chunking
     Sp = ((S + nseq - 1) // nseq) * nseq
     SG = Sp // nseq

@@ -78,3 +78,17 @@ def test_pack_block_layout(setup):
     # padding lanes and sublanes are dead
     assert np.all(femis_m[0, :, 3, 8:] <= vj.NEG)
     assert np.all(femis_m[1, :, 5:, :] <= vj.NEG)
+
+
+def test_pick_nseq_respects_smem_budget():
+    # short reads: full 32-deep stack
+    assert vp.pick_nseq(100, seq_pad_len=512) == 32
+    # very long reads shrink the stack so eidx fits in SMEM
+    n = vp.pick_nseq(100, seq_pad_len=12288)
+    assert n < 32
+    w = (12288 * 5 + 40 + 127) // 128 * 128
+    assert n == 8 or n * w * 4 <= vp.SMEM_BUDGET_BYTES
+    # make_seqinfo applies the cap automatically
+    eidx = np.zeros((10, 12288, 5), np.int32)
+    seqinfo, W, S = vp.make_seqinfo(eidx, np.full(10, 5, np.int32))
+    assert seqinfo.shape[2] // W == n
