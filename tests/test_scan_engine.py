@@ -158,3 +158,28 @@ def test_codec_decode_stream():
     assert len(codons) == len(emitting)
     for a, b, c in codons:
         assert 0 <= a < 4 and 0 <= b < 4 and 0 <= c < 4
+
+
+def test_long_read_takes_xla_path(db):
+    """Nanopore-scale reads exceed the kernel's SMEM budget and must
+    route to the XLA engine — same hits either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    target = db.profile(2)
+    consensus = consensus_dna(target)
+
+    def r(n):
+        return "".join(rng.choice(list("ACGT"), n))
+
+    # three planted islands (multi-hit) so the signal survives ~3 kb of
+    # random flanks (oracle LRT ~ 38)
+    long_read = (
+        r(1200) + consensus + r(800) + consensus + r(700) + consensus
+        + r(500)
+    )
+    assert pad_seq_len(len(long_read)) > 3072  # past PALLAS_MAX_SEQLEN
+    eng = ScanEngine(db, ScanParams(lrt_threshold=10.0), use_pallas=True,
+                     pallas_interpret=True)
+    hits = eng.scan([SeqRecord(1, "long", long_read)])
+    assert any(h.profile_idx == 2 for h in hits)
