@@ -89,11 +89,14 @@ def run_engine(block, eidx, slen, repeats=REPEATS, use_pallas=None):
         from deciphon_tpu.ops import viterbi_pallas as vp
 
         pb = vp.PallasBlock(block)
-        seqinfo, W, S = vp.make_seqinfo(np.asarray(eidx), np.asarray(slen))
+        seqinfo, seqlens, S = vp.make_seqinfo(
+            np.asarray(eidx), np.asarray(slen)
+        )
         seqinfo = jax.numpy.asarray(seqinfo)
+        seqlens = jax.numpy.asarray(seqlens)
 
         def step():
-            return pb.scores(seqinfo, SEQ_LEN, W, S)
+            return pb.scores(seqinfo, seqlens, S)
 
     else:
 

@@ -36,10 +36,6 @@ from deciphon_tpu.ops.emissions import fragment_indices
 # ~83 MiB, verified compiling + parity on v5e).  Bigger profiles fall
 # back to the XLA engine.
 PALLAS_MAX_KPAD = 768
-# Longest padded read the kernel's SMEM fragment-index buffer fits even
-# at the minimum 8-deep sequence stack; longer reads (nanopore-scale)
-# take the XLA engine, which carries O(1) state per position.
-PALLAS_MAX_SEQLEN = 3072
 
 
 @dataclass(frozen=True)
@@ -199,17 +195,13 @@ class ScanEngine:
                 counters.consume(
                     len_sum, int(self.db.core_sizes[chunk].sum())
                 )
-                if (
-                    self.use_pallas
-                    and kpad <= PALLAS_MAX_KPAD
-                    and lp <= PALLAS_MAX_SEQLEN
-                ):
+                if self.use_pallas and kpad <= PALLAS_MAX_KPAD:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
                     if seqinfo is None:
-                        seqinfo, W, S = vp.make_seqinfo(eidx, slen)
+                        seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen)
                     alt, null = self._pallas_block(entry).scores(
-                        seqinfo, lp, W, S,
+                        seqinfo, seqlens, S,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
                         interpret=self.pallas_interpret,

@@ -48,6 +48,19 @@ NTAB = FRAG_SENTINEL + 1  # 1365 fragment rows incl. -inf sentinel
 (P_ENTRY, P_MM_OUT, P_IM_OUT, P_DM_OUT, P_MI, P_II, P_ABASE, P_CDD) = range(8)
 NPLANES = 8
 
+# Sequence fragment indices stream through SMEM in double-buffered chunks
+# of CPOS positions (255 = 51 quintets, so the 5-slot DP rings keep
+# compile-time slot ids across chunk boundaries).  Fixed-size buffers
+# decouple read length from scalar memory: 2 x nseq x WC x 4 bytes
+# (~326 KiB at the 32-deep stack) regardless of L.
+CPOS = 255
+WC = 1280  # per-seq ints per chunk: CPOS*5 = 1275 used, padded to a
+# whole number of 128-int units (HBM DMA minormost-dim alignment)
+SEQROWS = 8  # chunk payload shaped [SEQROWS, nseq*WC/SEQROWS]: HBM tiling
+# binds the LAST TWO dims, so sliced dims (seq-group, chunk) must lead
+# and the trailing dims stay whole and tile-aligned
+SLPAD = 128  # seqlen block [SEQROWS, SLPAD], row 0 carries the lengths
+
 
 def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
@@ -76,7 +89,8 @@ def _cummax_lanes(x, k: int, negmasks=None):
 
 
 def _kernel(
-    seqinfo_ref,  # HBM [SG, 1, NSEQ*W] int32: per-seq eidx + seq_len
+    seqinfo_ref,  # HBM [SG, NCH, SEQROWS, NSEQ*WC/SEQROWS] int32
+    seqlen_ref,  # HBM [SG, SEQROWS, SLPAD] int32 (row 0 holds lengths)
     femis_m_hbm,  # HBM [P, NTAB, GROUP, K]
     femis_in_ref,  # VMEM [1, NTAB, 2, GROUP]: insert + null tables
     trans_ref,  # VMEM [1, NPLANES, GROUP, K]
@@ -88,25 +102,31 @@ def _kernel(
     ring_ic,  # scratch VMEM [5, NSEQ, GROUP, K]: max(VM+mi, VI+ii)
     ring_s,  # scratch VMEM [5, 8, NSEQ, GROUP]: specials
     out_acc,  # scratch VMEM [2, NSEQ, GROUP]: running (alt, null) capture
-    eidx_smem,  # scratch SMEM [1, NSEQ*W] int32
+    eidx_smem,  # scratch SMEM [2, SEQROWS, NSEQ*WC/SEQROWS] int32
+    seqlen_smem,  # scratch SMEM [SEQROWS, SLPAD] int32
     femis_sem,
-    eidx_sem,
+    eidx_sem,  # DMA semaphore pair, one per chunk buffer
+    seqlen_sem,
     *,
-    L: int,
-    W: int,
     K: int,
     nseq: int,
+    nch: int,
     multi_hits: bool,
     hmmer3_compat: bool,
 ):
     p_id = pl.program_id(0)
     s_id = pl.program_id(1)
 
-    # sequence fragment indices -> SMEM (scalar reads feed dynamic slices)
-    eidx_dma = pltpu.make_async_copy(
-        seqinfo_ref.at[s_id], eidx_smem, eidx_sem
+    def eidx_dma(c, buf):
+        return pltpu.make_async_copy(
+            seqinfo_ref.at[s_id, c], eidx_smem.at[buf], eidx_sem.at[buf]
+        )
+
+    sl_dma = pltpu.make_async_copy(
+        seqlen_ref.at[s_id], seqlen_smem, seqlen_sem
     )
-    eidx_dma.start()
+    sl_dma.start()
+    eidx_dma(0, 0).start()
 
     # match fragment tables -> VMEM, once per profile group (the sequence
     # axis is innermost, so the scratch stays valid for the whole batch)
@@ -118,7 +138,7 @@ def _kernel(
         dma.start()
         dma.wait()
 
-    eidx_dma.wait()
+    sl_dma.wait()
 
     # per-sequence special transitions from each sequence length
     # (protein_profile_setup closed forms)
@@ -131,7 +151,15 @@ def _kernel(
         log_q = NEG
         log_1q = 0.0
 
-    seq_lens = [eidx_smem[0, qq * W + L * 5] for qq in range(nseq)]
+    seq_lens = [seqlen_smem[0, qq] for qq in range(nseq)]
+    per_row = nseq // SEQROWS  # sequences per SMEM chunk row
+    # positions actually needed: the batch's longest sequence (the
+    # length bucket only sizes the eidx transfer; compute stops exactly
+    # at the data)
+    max_len = seq_lens[0]
+    for sl in seq_lens[1:]:
+        max_len = jnp.maximum(max_len, sl)
+    total_q = (max_len + 4) // 5  # quintets overall
 
     def specials_of(slen):
         Lf = slen.astype(jnp.float32)
@@ -192,14 +220,20 @@ def _kernel(
     # specials row ids inside ring_s
     S_B, S_N, S_J, S_C, S_E, S_R = range(6)
 
-    def position(i, j):
+    def position(i, j, buf, local):
         """One DP position for all NSEQ sequences; j = i mod 5 is
-        compile-time so every ring access uses a static slot."""
+        compile-time so every ring access uses a static slot.  ``i`` is
+        a dynamic scalar; ``local`` is the row within the SMEM chunk
+        buffer ``buf``."""
         accM = accI = accN = accJ = accC = accR = None
         for l in range(1, 6):
             slot = (j - l) % 5
             idxs = [
-                eidx_smem[0, qq * W + (i - 1) * 5 + (l - 1)]
+                eidx_smem[
+                    buf,
+                    qq // per_row,
+                    (qq % per_row) * WC + local * 5 + (l - 1),
+                ]
                 for qq in range(nseq)
             ]
             em_m = jnp.stack([femis_m[idx] for idx in idxs])
@@ -264,15 +298,29 @@ def _kernel(
         )
 
     def chunk(c, _):
-        base = c * 5
-        for j in range(5):
-            position(base + j + 1, (j + 1) % 5)
+        buf = jax.lax.rem(c, 2)
+        eidx_dma(c, buf).wait()
+
+        @pl.when(c + 1 < nch)
+        def _():
+            eidx_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+        def quintet(qi, _):
+            base = c * CPOS + qi * 5
+            for jj in range(5):
+                # 255 = 0 mod 5, so ring slot ids stay compile-time
+                position(base + jj + 1, (jj + 1) % 5, buf, qi * 5 + jj)
+            return ()
+
+        # partial last chunk: stop at the batch's longest sequence
+        q_hi = jnp.clip(total_q - c * (CPOS // 5), 0, CPOS // 5)
+        jax.lax.fori_loop(0, q_hi, quintet, (), unroll=False)
         return ()
 
-    nchunks = (L + 4) // 5  # positions beyond L are harmless: their
-    # emissions read zero-filled eidx (a real fragment index) but outputs
-    # are only captured at i == seq_len <= L
-    jax.lax.fori_loop(0, nchunks, chunk, (), unroll=False)
+    # positions beyond L are harmless: their emissions read zero-filled
+    # eidx (a real fragment index) but outputs are only captured at
+    # i == seq_len <= L
+    jax.lax.fori_loop(0, nch, chunk, (), unroll=False)
 
     alt_ref[0, s_id] = out_acc[0]
     null_ref[0, s_id] = out_acc[1]
@@ -363,18 +411,17 @@ def pack_block(block: ProfileBlock):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "multi_hits", "hmmer3_compat", "interpret", "L", "W", "K", "P",
-        "nseq",
+        "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
     ),
 )
 def _run(
-    femis_m, femis_in, trans, seqinfo,
-    *, L: int, W: int, K: int, P: int, nseq: int,
+    femis_m, femis_in, trans, seqinfo, seqlens,
+    *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
 ):
-    SG = seqinfo.shape[0]
+    SG, nch = seqinfo.shape[0], seqinfo.shape[1]
     kernel = functools.partial(
-        _kernel, L=L, W=W, K=K, nseq=nseq,
+        _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
     )
     grid = (P, SG)
@@ -388,6 +435,7 @@ def _run(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # seqinfo -> SMEM DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),  # seqlens -> SMEM DMA
             pl.BlockSpec(memory_space=pltpu.HBM),  # femis_m -> VMEM DMA
             pl.BlockSpec(
                 (1, NTAB, 2, GROUP), lambda p, s: (p, 0, 0, 0),
@@ -414,8 +462,10 @@ def _run(
             pltpu.VMEM((5, nseq, GROUP, K), jnp.float32),
             pltpu.VMEM((5, 8, nseq, GROUP), jnp.float32),
             pltpu.VMEM((2, nseq, GROUP), jnp.float32),
-            pltpu.SMEM((1, nseq * W), jnp.int32),
+            pltpu.SMEM((2, SEQROWS, nseq * WC // SEQROWS), jnp.int32),
+            pltpu.SMEM((SEQROWS, SLPAD), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         # the fragment table + DP rings exceed Mosaic's default 16 MiB
@@ -424,25 +474,16 @@ def _run(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seqinfo, femis_m, femis_in, trans)
+    )(seqinfo, seqlens, femis_m, femis_in, trans)
     return alt, null
 
 
-# sequence-info SMEM budget per kernel instance: nseq * W * 4 bytes must
-# fit comfortably inside TPU scalar memory (~1 MiB class)
-SMEM_BUDGET_BYTES = 512 * 1024
-
-
-def pick_nseq(nseqs: int, cap: int = NSEQ, seq_pad_len: int = 0) -> int:
+def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:
     """Smallest supported per-instance sequence stack >= the batch (bigger
     stacks amortize the cross-lane roll fixed cost; measured on v5e:
     8->37, 16->43, 32->46.5 GCUPS — but padding a 2-seq batch to 32 would
-    waste 16x).  Long sequences shrink the stack so the per-instance
-    eidx buffer stays within SMEM."""
-    if seq_pad_len:
-        w = ((seq_pad_len * 5 + 40 + 127) // 128) * 128
-        while cap > 8 and cap * w * 4 > SMEM_BUDGET_BYTES:
-            cap //= 2
+    waste 16x).  SMEM chunking makes the stack independent of read
+    length."""
     n = 8
     while n < min(nseqs, cap):
         n *= 2
@@ -450,25 +491,33 @@ def pick_nseq(nseqs: int, cap: int = NSEQ, seq_pad_len: int = 0) -> int:
 
 
 def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray, nseq: int = 0):
-    """Pack [S, L, 5] end-fragment indices + lengths into the kernel's
-    [SG, 1, nseq*W] layout (nseq sequences per row; each sequence's
-    seq_len lives at its flat offset L*5).  Returns (seqinfo, W, S)."""
+    """Pack [S, L, 5] end-fragment indices into the kernel's chunked
+    [SG, nchunks, nseq*WC] layout plus a [SG, nseq] length array.
+    Returns (seqinfo, seqlens, S)."""
     eidx = np.asarray(eidx, np.int32)
     S, L, five = eidx.shape
     assert five == 5
     if not nseq:
-        nseq = pick_nseq(S, seq_pad_len=L)
-    W = ((L * 5 + 40 + 127) // 128) * 128  # margin for 5-pos chunking
+        nseq = pick_nseq(S)
+    nch = max(1, (L + CPOS - 1) // CPOS)
     Sp = ((S + nseq - 1) // nseq) * nseq
     SG = Sp // nseq
-    seqinfo = np.zeros((SG, nseq, W), np.int32)
-    flat = eidx.reshape(S, L * 5)
+    seqinfo = np.zeros((SG, nch, nseq, WC), np.int32)
+    seqlens = np.zeros((SG, SEQROWS, SLPAD), np.int32)
+    rows = np.zeros((S, nch * CPOS, 5), np.int32)
+    rows[:, :L] = eidx
     lens = np.asarray(seq_len, np.int32)
     for s in range(S):
-        seqinfo[s // nseq, s % nseq, : L * 5] = flat[s]
-        seqinfo[s // nseq, s % nseq, L * 5] = lens[s]
+        seqinfo[s // nseq, :, s % nseq, : CPOS * 5] = rows[s].reshape(
+            nch, CPOS * 5
+        )
+        seqlens[s // nseq, 0, s % nseq] = lens[s]
     # padding sequences: seq_len 0 never captures output
-    return seqinfo.reshape(SG, 1, nseq * W), W, S
+    return (
+        seqinfo.reshape(SG, nch, SEQROWS, nseq * WC // SEQROWS),
+        seqlens,
+        S,
+    )
 
 
 class PallasBlock:
@@ -486,20 +535,19 @@ class PallasBlock:
     def scores(
         self,
         seqinfo,
-        seq_pad_len: int,
-        width: int,
+        seqlens,
         nseqs: int,
         multi_hits: bool = True,
         hmmer3_compat: bool = False,
         interpret: bool = False,
     ):
         """(alt [S, B], null [S, B]) device arrays for a packed seq batch."""
-        nseq = seqinfo.shape[2] // width  # layout fixed by make_seqinfo
+        # layout fixed by make_seqinfo: [SG, nch, SEQROWS, nseq*WC/SEQROWS]
+        nseq = seqinfo.shape[2] * seqinfo.shape[3] // WC
         alt, null = _run(
             self.femis_m, self.femis_in, self.trans,
-            seqinfo,
-            L=seq_pad_len, W=width, K=self.kpad, P=self.ngroups,
-            nseq=nseq,
+            seqinfo, seqlens,
+            K=self.kpad, P=self.ngroups, nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret,
         )
@@ -530,10 +578,9 @@ def viterbi_scores_pallas(
     this convenience wrapper re-packs and re-uploads the tables each call.
     """
     pb = PallasBlock(block)
-    L = np.asarray(eidx).shape[1]
-    seqinfo, W, S = make_seqinfo(eidx, seq_len)
+    seqinfo, seqlens, S = make_seqinfo(eidx, seq_len)
     alt, null = pb.scores(
-        jnp.asarray(seqinfo), L, W, S,
+        jnp.asarray(seqinfo), jnp.asarray(seqlens), S,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         interpret=interpret,
     )

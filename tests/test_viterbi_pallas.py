@@ -80,15 +80,22 @@ def test_pack_block_layout(setup):
     assert np.all(femis_m[1, :, 5:, :] <= vj.NEG)
 
 
-def test_pick_nseq_respects_smem_budget():
-    # short reads: full 32-deep stack
-    assert vp.pick_nseq(100, seq_pad_len=512) == 32
-    # very long reads shrink the stack so eidx fits in SMEM
-    n = vp.pick_nseq(100, seq_pad_len=12288)
-    assert n < 32
-    w = (12288 * 5 + 40 + 127) // 128 * 128
-    assert n == 8 or n * w * 4 <= vp.SMEM_BUDGET_BYTES
-    # make_seqinfo applies the cap automatically
+def test_chunked_seqinfo_layout():
+    # the SMEM chunk buffers are fixed-size, so the stack no longer
+    # depends on read length; a 12 kb read just means more chunks
+    assert vp.pick_nseq(100) == 32
     eidx = np.zeros((10, 12288, 5), np.int32)
-    seqinfo, W, S = vp.make_seqinfo(eidx, np.full(10, 5, np.int32))
-    assert seqinfo.shape[2] // W == n
+    eidx[3, 100, 2] = 77
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, np.full(10, 5, np.int32))
+    nch = (12288 + vp.CPOS - 1) // vp.CPOS
+    assert seqinfo.shape == (
+        1, nch, vp.SEQROWS, 16 * vp.WC // vp.SEQROWS
+    )
+    assert S == 10 and seqlens.shape == (1, vp.SEQROWS, vp.SLPAD)
+    # row 100 of seq 3 lands in chunk 100//CPOS at local offset, with
+    # per_row = 16/8 = 2 sequences per SMEM chunk row
+    c, local = divmod(100, vp.CPOS)
+    per_row = 16 // vp.SEQROWS
+    assert seqinfo[
+        0, c, 3 // per_row, (3 % per_row) * vp.WC + local * 5 + 2
+    ] == 77
