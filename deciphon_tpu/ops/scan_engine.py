@@ -68,20 +68,16 @@ class Hit:
 
 
 def pad_seq_len(L: int) -> int:
-    """Pad sequence length to a half-octave bucket boundary {2^k, 1.5*2^k}.
+    """Pad sequence length to a whole number of kernel streaming chunks.
 
-    Every (length bucket, core bucket) pair costs one kernel compile
-    (~30 s on a tunneled chip), so buckets are geometric: <= 33% padded
-    positions (~20% average) in exchange for ~4x fewer compiles than a
-    fixed 64-step grid."""
-    if L <= 16:
-        return 16
-    p = 16
-    while p < L:
-        if p * 3 // 2 >= L:
-            return p * 3 // 2
-        p *= 2
-    return p
+    The kernel compiles per (core bucket, chunk count) and stops
+    computing at the batch's true longest read, so padding costs only
+    index-transfer bytes — buckets are plain 255-position chunk
+    multiples (every read <= 255 nt shares one compile per core
+    bucket)."""
+    from deciphon_tpu.ops.viterbi_pallas import CPOS
+
+    return max(CPOS, (L + CPOS - 1) // CPOS * CPOS)
 
 
 class ScanEngine:

@@ -45,16 +45,14 @@ def db(tmp_path_factory):
 
 
 def test_pad_seq_len():
-    assert pad_seq_len(5) == 16
-    assert pad_seq_len(33) == 48
-    assert pad_seq_len(65) == 96
-    assert pad_seq_len(200) == 256
-    assert pad_seq_len(300) == 384
-    assert pad_seq_len(1100) == 1536
-    # half-octave: never more than 50% over, monotone
+    # whole streaming chunks: every read <= 255 shares one bucket
+    assert pad_seq_len(5) == 255
+    assert pad_seq_len(255) == 255
+    assert pad_seq_len(256) == 510
+    assert pad_seq_len(1100) == 1275
     for L in range(1, 4000, 7):
         p = pad_seq_len(L)
-        assert p >= L and p <= max(16, int(L * 1.5) + 1)
+        assert p >= L and p % 255 == 0 and p - L < 255 + 255
 
 
 def test_scan_finds_planted_hit(db):
@@ -160,9 +158,9 @@ def test_codec_decode_stream():
         assert 0 <= a < 4 and 0 <= b < 4 and 0 <= c < 4
 
 
-def test_long_read_takes_xla_path(db):
-    """Nanopore-scale reads exceed the kernel's SMEM budget and must
-    route to the XLA engine — same hits either way."""
+def test_long_read_scan(db):
+    """Multi-kb reads stream through the chunked kernel (interpret mode
+    here; verified on hardware at 8 kb)."""
     import numpy as np
 
     rng = np.random.default_rng(5)
@@ -178,7 +176,6 @@ def test_long_read_takes_xla_path(db):
         r(1200) + consensus + r(800) + consensus + r(700) + consensus
         + r(500)
     )
-    assert pad_seq_len(len(long_read)) > 3072  # past PALLAS_MAX_SEQLEN
     eng = ScanEngine(db, ScanParams(lrt_threshold=10.0), use_pallas=True,
                      pallas_interpret=True)
     hits = eng.scan([SeqRecord(1, "long", long_read)])
