@@ -127,8 +127,10 @@ def main() -> int:
         cells = args.nseqs * nprof * args.seq_len * args.core * 3
         rate = cells / dt
         if base_rate is None:
-            base_rate = rate if args.strong else rate / 1
-        ideal = base_rate * (1 if args.strong else n)
+            base_rate = rate
+        # perfect scaling is n x the single-device rate in BOTH regimes
+        # (strong mode's fixed DB still ideally finishes n x faster)
+        ideal = base_rate * n
         eff = rate / ideal if ideal else float("nan")
         results.append(
             dict(devices=n, nprofiles=nprof, seconds=dt,

@@ -106,8 +106,9 @@ def cmd_info(args) -> int:
         if info.profiles:
             ks = [p.core_size for p in info.profiles]
             print(f"nodes:      {sum(ks)} (min {min(ks)}, max {max(ks)})")
-        print(f"bytes/prof: min {min(info.profile_sizes)}, "
-              f"max {max(info.profile_sizes)}")
+        if info.profile_sizes:
+            print(f"bytes/prof: min {min(info.profile_sizes)}, "
+                  f"max {max(info.profile_sizes)}")
         return 0
 
     db = TensorDB.load(args.db)

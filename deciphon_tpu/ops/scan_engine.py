@@ -195,7 +195,12 @@ class ScanEngine:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
                     if seqinfo is None:
+                        import jax.numpy as jnp
+
                         seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen)
+                        # upload once per length bucket, not per block
+                        seqinfo = jnp.asarray(seqinfo)
+                        seqlens = jnp.asarray(seqlens)
                     alt, null = self._pallas_block(entry).scores(
                         seqinfo, seqlens, S,
                         multi_hits=p.multi_hits,

@@ -205,7 +205,9 @@ def _walk(ys, L: int, K: int) -> list[tuple[int, int]]:
     path: list[tuple[int, int]] = [(st.T, 0)]
     i = L  # positions are 1-based; ys index i-1
     cur = ("E", 0) if bpT[L - 1] == 0 else ("C", 0)
-    guard = 4 * L + 4 * K + 16
+    # worst legal path: ~L hits, each traversing an O(K) delete chain of
+    # mute steps, so the bound scales with L*K (not L+K)
+    guard = L * (K + 8) + 16
     while guard > 0:
         guard -= 1
         kind, k = cur

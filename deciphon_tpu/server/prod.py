@@ -10,9 +10,19 @@ profile_typeid, version, match — floats printed %.17g, match cells
 from __future__ import annotations
 
 import io
+import os
 from dataclasses import dataclass, field
 
 from deciphon_tpu import __version__
+
+
+def default_version() -> str:
+    """Version string stamped into the TSV 'version' column.
+
+    Defaults to this package's version; set DCP_PROD_VERSION to stamp a
+    different string (e.g. the reference's version, for byte-level diffs
+    of product files against reference output)."""
+    return os.environ.get("DCP_PROD_VERSION", __version__)
 
 HEADER = (
     "scan_id\tseq_id\tprofile_name\tabc_name\talt_loglik\t"
@@ -56,8 +66,10 @@ class ProdWriter:
         scan_id: int = 0,
         abc_name: str = "dna",
         profile_typeid: str = "protein",
-        version: str = __version__,
+        version: str | None = None,
     ):
+        if version is None:
+            version = default_version()
         self.scan_id = scan_id
         self.abc_name = abc_name
         self.profile_typeid = profile_typeid

@@ -24,7 +24,15 @@ from deciphon_tpu.utils import logging as log
 
 
 def http_debug_enabled() -> bool:
-    return bool(os.environ.get("DCP_DEBUG_HTTP"))
+    enabled = bool(os.environ.get("DCP_DEBUG_HTTP"))
+    if enabled:
+        # the wire log emits at DEBUG; make sure it is visible the moment
+        # the env var opts in, whatever level setup() pinned
+        import logging as _logging
+
+        if log.logger.getEffectiveLevel() > _logging.DEBUG:
+            log.logger.setLevel(_logging.DEBUG)
+    return enabled
 
 
 def log_http(method: str, path: str, status: int, nreq: int, nresp: int):

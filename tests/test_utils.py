@@ -100,3 +100,47 @@ def test_standard_state_name():
 
     assert st.standard_name(0) == "S0"
     assert st.standard_name(27) == "S27"
+
+
+def test_fasta_gzip_and_multiline(tmp_path):
+    import gzip
+
+    from deciphon_tpu.utils.fasta import read_fasta
+
+    body = (
+        ">read1 with a description\nACGTACGT\nACGT\n\n"
+        ">read2\nTTTT\nGGGG\nCCCC\n"
+    )
+    plain = tmp_path / "reads.fa"
+    plain.write_text(body)
+    # gzipped copy named WITHOUT .gz: the reader sniffs magic bytes
+    gz = tmp_path / "reads_compressed.fa"
+    with gzip.open(gz, "wt") as fp:
+        fp.write(body)
+    expect = [("read1", "ACGTACGTACGT"), ("read2", "TTTTGGGGCCCC")]
+    assert list(read_fasta(str(plain))) == expect
+    assert list(read_fasta(str(gz))) == expect
+
+
+def test_prod_version_env(monkeypatch):
+    from deciphon_tpu import __version__
+    from deciphon_tpu.server.prod import ProdWriter
+
+    assert ProdWriter().version == __version__
+    monkeypatch.setenv("DCP_PROD_VERSION", "0.11.0")
+    assert ProdWriter().version == "0.11.0"
+
+
+def test_http_debug_enables_debug_level(monkeypatch):
+    import logging as pylog
+
+    from deciphon_tpu.utils import logging as log
+    from deciphon_tpu.utils import trace
+
+    log.setup(pylog.INFO)
+    monkeypatch.delenv("DCP_DEBUG_HTTP", raising=False)
+    assert not trace.http_debug_enabled()
+    monkeypatch.setenv("DCP_DEBUG_HTTP", "1")
+    assert trace.http_debug_enabled()
+    assert log.logger.getEffectiveLevel() <= pylog.DEBUG
+    log.logger.setLevel(pylog.INFO)
