@@ -31,11 +31,14 @@ from deciphon_tpu.ops import viterbi_ref as vr
 from deciphon_tpu.utils import trace
 from deciphon_tpu.ops.emissions import fragment_indices
 
-# Largest padded core size the Pallas kernel's VMEM-resident fragment
-# table supports (~108 KiB of scratch per core node at NSEQ=32; 768 ->
-# ~83 MiB, verified compiling + parity on v5e).  Bigger profiles fall
-# back to the XLA engine.
-PALLAS_MAX_KPAD = 768
+# Largest padded core size the Pallas kernel supports — the reference's
+# full envelope (PROTEIN_MODEL_CORE_SIZE_MAX, core/limits.h:11).  Up to
+# RESIDENT_MAX_KPAD the fragment table is fully VMEM-resident (regime A);
+# above that the kernel streams length-4/5 emission rows from HBM
+# (regime B, viterbi_pallas.py) with a smaller per-instance sequence
+# stack.  Bigger profiles (none exist in HMMER-land) fall back to the
+# XLA engine.
+PALLAS_MAX_KPAD = 4096
 
 
 @dataclass(frozen=True)
@@ -184,7 +187,7 @@ class ScanEngine:
                 ]
             )
             slen = np.array([len(encoded[si]) for si in seq_ids], np.int32)
-            seqinfo = None
+            seqinfo_of: dict[int, tuple] = {}  # nseq stack -> packed batch
             len_sum = int(slen.sum())
             for entry in self._blocks:
                 chunk, _, kpad, _, _ = entry
@@ -194,13 +197,19 @@ class ScanEngine:
                 if self.use_pallas and kpad <= PALLAS_MAX_KPAD:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
-                    if seqinfo is None:
+                    nseq = vp.pick_nseq(len(seq_ids), vp.nseq_cap(kpad))
+                    if nseq not in seqinfo_of:
                         import jax.numpy as jnp
 
-                        seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen)
-                        # upload once per length bucket, not per block
-                        seqinfo = jnp.asarray(seqinfo)
-                        seqlens = jnp.asarray(seqlens)
+                        seqinfo, seqlens, S = vp.make_seqinfo(
+                            eidx, slen, nseq=nseq
+                        )
+                        # upload once per (length bucket, stack), not
+                        # per block
+                        seqinfo_of[nseq] = (
+                            jnp.asarray(seqinfo), jnp.asarray(seqlens), S
+                        )
+                    seqinfo, seqlens, S = seqinfo_of[nseq]
                     alt, null = self._pallas_block(entry).scores(
                         seqinfo, seqlens, S,
                         multi_hits=p.multi_hits,

@@ -25,6 +25,20 @@ Performance notes (measured on v5e; see git history for the ablations):
     reads; special-state transitions are recomputed per sequence from its
     length in-kernel (protein_profile_setup semantics,
     src/model/protein_profile.c:155-216).
+
+Two residency regimes cover the reference's full core-size envelope
+(core_size <= 4096, include/deciphon/core/limits.h:11):
+
+  - kpad <= RESIDENT_MAX_KPAD: the whole 1365-row fragment table fits in
+    VMEM (regime A, the small-profile fast path);
+  - kpad up to 4096 (regime B): only the 84 length-1..3 rows stay
+    VMEM-resident (they cover 3 of the 5 lookback lengths every position);
+    the length-4/5 rows — 94% of the table — stay in HBM and the two rows
+    each sequence needs per position are gathered by dynamic row DMAs,
+    double-buffered one position ahead (indices are already in SMEM for
+    the whole chunk, so the fetch pipelines ahead of compute).  Demand is
+    2*nseq rows/position = ~2.7 bytes per DP cell — well under HBM
+    bandwidth at the kernel's measured cell rate.
 """
 
 from __future__ import annotations
@@ -37,12 +51,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from deciphon_tpu.models.frame import FRAG_SENTINEL
+from deciphon_tpu.models.frame import FRAG_OFFSET, FRAG_SENTINEL
 from deciphon_tpu.ops.viterbi_jax import NEG, ProfileBlock
 
 GROUP = 16  # profiles per kernel instance (sublane dim)
 NSEQ = 32  # default sequences per kernel instance (stacked leading dim)
 NTAB = FRAG_SENTINEL + 1  # 1365 fragment rows incl. -inf sentinel
+
+# Largest padded core size whose full fragment table stays VMEM-resident
+# (regime A).  Above it the kernel switches to regime B: length-1..3 rows
+# resident, length-4/5 rows streamed from HBM per position.
+RESIDENT_MAX_KPAD = 768
+NRES_B = FRAG_OFFSET[4]  # 84 rows cover fragment lengths 1..3
+STREAM_LENGTHS = (4, 5)
+
+
+def nseq_cap(kpad: int) -> int:
+    """Per-instance sequence-stack cap: the DP rings + stream buffers are
+    O(nseq*K) of VMEM, so the stack shrinks as the core axis grows."""
+    if kpad <= 1024:
+        return NSEQ
+    if kpad <= 2048:
+        return 16
+    return 8
 
 # trans plane order in the packed [P, NPLANES, GROUP, K] tensor
 (P_ENTRY, P_MM_OUT, P_IM_OUT, P_DM_OUT, P_MI, P_II, P_ABASE, P_CDD) = range(8)
@@ -96,7 +127,7 @@ def _kernel(
     trans_ref,  # VMEM [1, NPLANES, GROUP, K]
     alt_ref,  # VMEM [1, SG, NSEQ, GROUP]
     null_ref,  # VMEM [1, SG, NSEQ, GROUP]
-    femis_m,  # scratch VMEM [NTAB, GROUP, K] (persists across grid steps)
+    femis_m,  # scratch VMEM [nres, GROUP, K] (persists across grid steps)
     ring_cs,  # scratch VMEM [5, NSEQ, GROUP, K]: lane-shifted
     #   max(VM+mm_out, VI+im_out, VD+dm_out) — the whole core in-flow
     ring_ic,  # scratch VMEM [5, NSEQ, GROUP, K]: max(VM+mi, VI+ii)
@@ -107,15 +138,20 @@ def _kernel(
     femis_sem,
     eidx_sem,  # DMA semaphore pair, one per chunk buffer
     seqlen_sem,
-    *,
+    *args,  # regime B: stream_buf VMEM [2, NSTR, nseq, GROUP, K],
+    #   stream_sem DMA[(2, NSTR, nseq)]
     K: int,
     nseq: int,
     nch: int,
     multi_hits: bool,
     hmmer3_compat: bool,
+    n_stream: int = 0,
 ):
+    if n_stream:
+        stream_buf, stream_sem = args
     p_id = pl.program_id(0)
     s_id = pl.program_id(1)
+    nres = femis_m.shape[0]
 
     def eidx_dma(c, buf):
         return pltpu.make_async_copy(
@@ -129,14 +165,43 @@ def _kernel(
     eidx_dma(0, 0).start()
 
     # match fragment tables -> VMEM, once per profile group (the sequence
-    # axis is innermost, so the scratch stays valid for the whole batch)
+    # axis is innermost, so the scratch stays valid for the whole batch).
+    # Regime B keeps only the first `nres` (length-1..3) rows resident.
     @pl.when(s_id == 0)
     def _():
         dma = pltpu.make_async_copy(
-            femis_m_hbm.at[p_id], femis_m, femis_sem
+            femis_m_hbm.at[p_id, pl.ds(0, nres)], femis_m, femis_sem
         )
         dma.start()
         dma.wait()
+
+    def eidx_at(buf, qq, local, l):
+        """Scalar SMEM read: fragment index for (seq qq, chunk-local
+        position `local`, lookback length l)."""
+        return eidx_smem[
+            buf, qq // per_row, (qq % per_row) * WC + local * 5 + (l - 1)
+        ]
+
+    def stream_issue(buf, local, sslot):
+        """Start the length-4/5 row gathers for chunk-local position
+        ``local`` into stream double-buffer slot ``sslot``."""
+        for li, l in enumerate(STREAM_LENGTHS[-n_stream:]):
+            for qq in range(nseq):
+                idx = eidx_at(buf, qq, local, l)
+                pltpu.make_async_copy(
+                    femis_m_hbm.at[p_id, idx],
+                    stream_buf.at[sslot, li, qq],
+                    stream_sem.at[sslot, li, qq],
+                ).start()
+
+    def stream_wait(sslot):
+        for li in range(n_stream):
+            for qq in range(nseq):
+                pltpu.make_async_copy(
+                    femis_m_hbm.at[p_id, 0],
+                    stream_buf.at[sslot, li, qq],
+                    stream_sem.at[sslot, li, qq],
+                ).wait()
 
     sl_dma.wait()
 
@@ -220,23 +285,38 @@ def _kernel(
     # specials row ids inside ring_s
     S_B, S_N, S_J, S_C, S_E, S_R = range(6)
 
-    def position(i, j, buf, local):
+    def position(i, j, buf, local, npos):
         """One DP position for all NSEQ sequences; j = i mod 5 is
         compile-time so every ring access uses a static slot.  ``i`` is
         a dynamic scalar; ``local`` is the row within the SMEM chunk
-        buffer ``buf``."""
+        buffer ``buf``; ``npos`` is the number of positions computed in
+        this chunk (bounds the stream prefetch)."""
+        if n_stream:
+            sslot = jax.lax.rem(local, 2)
+            stream_wait(sslot)
+            nxt = local + 1
+
+            @pl.when(nxt < npos)
+            def _():
+                stream_issue(buf, nxt, jax.lax.rem(nxt, 2))
+
         accM = accI = accN = accJ = accC = accR = None
         for l in range(1, 6):
             slot = (j - l) % 5
-            idxs = [
-                eidx_smem[
-                    buf,
-                    qq // per_row,
-                    (qq % per_row) * WC + local * 5 + (l - 1),
-                ]
-                for qq in range(nseq)
-            ]
-            em_m = jnp.stack([femis_m[idx] for idx in idxs])
+            idxs = [eidx_at(buf, qq, local, l) for qq in range(nseq)]
+            if n_stream and l > 5 - n_stream:
+                # streamed length: rows were DMA'd seq-stacked already
+                em_m = stream_buf[sslot, l - (6 - n_stream)]
+            elif n_stream:
+                # the -inf sentinel row (never decisive: invalid
+                # lookbacks are already NEG through the rings and
+                # start gates) lies outside the resident slice —
+                # clamp the match gather to stay in bounds
+                em_m = jnp.stack(
+                    [femis_m[jnp.minimum(idx, nres - 1)] for idx in idxs]
+                )
+            else:
+                em_m = jnp.stack([femis_m[idx] for idx in idxs])
             # one gather serves both insert and null/special emissions
             em_in = jnp.stack([femis_in_ref[0, idx] for idx in idxs])
             em_i = em_in[:, 0]
@@ -305,15 +385,26 @@ def _kernel(
         def _():
             eidx_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
 
+        # partial last chunk: stop at the batch's longest sequence
+        q_hi = jnp.clip(total_q - c * (CPOS // 5), 0, CPOS // 5)
+        npos = q_hi * 5
+
+        if n_stream:
+            # prime the stream pipeline for this chunk's first position
+            # (later positions are prefetched one position ahead)
+            @pl.when(npos > 0)
+            def _():
+                stream_issue(buf, 0, 0)
+
         def quintet(qi, _):
             base = c * CPOS + qi * 5
             for jj in range(5):
                 # 255 = 0 mod 5, so ring slot ids stay compile-time
-                position(base + jj + 1, (jj + 1) % 5, buf, qi * 5 + jj)
+                position(
+                    base + jj + 1, (jj + 1) % 5, buf, qi * 5 + jj, npos
+                )
             return ()
 
-        # partial last chunk: stop at the batch's longest sequence
-        q_hi = jnp.clip(total_q - c * (CPOS // 5), 0, CPOS // 5)
         jax.lax.fori_loop(0, q_hi, quintet, (), unroll=False)
         return ()
 
@@ -324,6 +415,50 @@ def _kernel(
 
     alt_ref[0, s_id] = out_acc[0]
     null_ref[0, s_id] = out_acc[1]
+
+
+def _pad_dims(B: int, K: int):
+    """(Kp, Bp, P): lane-tile-padded core size and GROUP-padded profiles.
+
+    The core axis is the lane (minormost) dim of the HBM->VMEM DMA
+    blocks, so it must be a whole number of 128-lane tiles on real
+    hardware.  Sub-128 cores round up for free: a [GROUP, K<128] VMEM
+    array occupies a full tile either way."""
+    Kp = max(128, ((K + 127) // 128) * 128)
+    Bp = ((B + GROUP - 1) // GROUP) * GROUP
+    return Kp, Bp, Bp // GROUP
+
+
+def _pack_trans(getarr, Bp: int, Kp: int):
+    """[P, NPLANES, GROUP, Kp] transition planes from [Bp, Kp] vectors
+    supplied by ``getarr(name)`` (already profile- and core-padded)."""
+    P = Bp // GROUP
+    dd = getarr("dd_in")
+    dd_safe = np.maximum(dd, NEG / 1e6)
+    dd_safe[:, 0] = 0.0
+    cdd = np.cumsum(dd_safe, axis=1, dtype=np.float64).astype(np.float32)
+    md = getarr("md_in")
+    md_next = np.concatenate(
+        [md[:, 1:], np.full((Bp, 1), NEG, np.float32)], axis=1
+    )
+    cdd_next = np.concatenate([cdd[:, 1:], cdd[:, -1:]], axis=1)
+    a_base = np.maximum(md_next - cdd_next, NEG)
+
+    def out_of(name):
+        # destination-indexed trans[k] (from node k-1) -> source-indexed
+        a = getarr(name)
+        return np.concatenate(
+            [a[:, 1:], np.full((Bp, 1), NEG, np.float32)], axis=1
+        )
+
+    planes = np.stack(
+        [
+            getarr("entry"), out_of("mm_in"), out_of("im_in"),
+            out_of("dm_in"), getarr("mi"), getarr("ii"), a_base, cdd,
+        ],
+        axis=1,
+    )  # [Bp, NPLANES, Kp]
+    return planes.reshape(P, GROUP, NPLANES, Kp).transpose(0, 2, 1, 3).copy()
 
 
 def pack_block(block: ProfileBlock):
@@ -338,17 +473,11 @@ def pack_block(block: ProfileBlock):
     fn = np.asarray(block.fn, np.float32)
     B, K, ntab = fm.shape
     assert ntab == NTAB
-    # The core axis is the lane (minormost) dim of the HBM->VMEM DMA
-    # blocks, so it must be a whole number of 128-lane tiles on real
-    # hardware.  Sub-128 cores round up for free: a [GROUP, K<128] VMEM
-    # array occupies a full tile either way.
-    Kp = max(128, ((K + 127) // 128) * 128)
+    Kp, Bp, P = _pad_dims(B, K)
     if Kp != K:
         fm = np.concatenate(
             [fm, np.full((B, Kp - K, ntab), NEG, np.float32)], axis=1
         )
-    Bp = ((B + GROUP - 1) // GROUP) * GROUP
-    P = Bp // GROUP
 
     def padB(a):
         if a.shape[0] == Bp:
@@ -379,32 +508,7 @@ def pack_block(block: ProfileBlock):
     def arrK(name):
         return padK(padB(np.asarray(getattr(block, name), np.float32)))
 
-    dd = arrK("dd_in")
-    dd_safe = np.maximum(dd, NEG / 1e6)
-    dd_safe[:, 0] = 0.0
-    cdd = np.cumsum(dd_safe, axis=1, dtype=np.float64).astype(np.float32)
-    md = arrK("md_in")
-    md_next = np.concatenate(
-        [md[:, 1:], np.full((Bp, 1), NEG, np.float32)], axis=1
-    )
-    cdd_next = np.concatenate([cdd[:, 1:], cdd[:, -1:]], axis=1)
-    a_base = np.maximum(md_next - cdd_next, NEG)
-
-    def out_of(name):
-        # destination-indexed trans[k] (from node k-1) -> source-indexed
-        a = arrK(name)
-        return np.concatenate(
-            [a[:, 1:], np.full((Bp, 1), NEG, np.float32)], axis=1
-        )
-
-    planes = np.stack(
-        [
-            arrK("entry"), out_of("mm_in"), out_of("im_in"),
-            out_of("dm_in"), arrK("mi"), arrK("ii"), a_base, cdd,
-        ],
-        axis=1,
-    )  # [Bp, NPLANES, K]
-    trans = planes.reshape(P, GROUP, NPLANES, Kp).transpose(0, 2, 1, 3).copy()
+    trans = _pack_trans(arrK, Bp, Kp)
     return femis_m, femis_in, trans, B
 
 
@@ -412,19 +516,31 @@ def pack_block(block: ProfileBlock):
     jax.jit,
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
+        "n_stream",
     ),
 )
 def _run(
     femis_m, femis_in, trans, seqinfo, seqlens,
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
+    n_stream: int = 0,
 ):
     SG, nch = seqinfo.shape[0], seqinfo.shape[1]
     kernel = functools.partial(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+        n_stream=n_stream,
     )
     grid = (P, SG)
+    nres = NTAB if n_stream == 0 else NRES_B
+    stream_scratch = (
+        [
+            pltpu.VMEM((2, n_stream, nseq, GROUP, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_stream, nseq)),
+        ]
+        if n_stream
+        else []
+    )
     out_shape = [
         jax.ShapeDtypeStruct((P, SG, nseq, GROUP), jnp.float32),
         jax.ShapeDtypeStruct((P, SG, nseq, GROUP), jnp.float32),
@@ -457,7 +573,7 @@ def _run(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NTAB, GROUP, K), jnp.float32),
+            pltpu.VMEM((nres, GROUP, K), jnp.float32),
             pltpu.VMEM((5, nseq, GROUP, K), jnp.float32),
             pltpu.VMEM((5, nseq, GROUP, K), jnp.float32),
             pltpu.VMEM((5, 8, nseq, GROUP), jnp.float32),
@@ -467,7 +583,8 @@ def _run(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ]
+        + stream_scratch,
         # the fragment table + DP rings exceed Mosaic's default 16 MiB
         # scoped-vmem budget once NSEQ*K grows; v5e/v5p have 128 MiB
         compiler_params=pltpu.CompilerParams(
@@ -521,9 +638,12 @@ def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray, nseq: int = 0):
 
 
 class PallasBlock:
-    """A profile block packed + resident on device for repeated scans."""
+    """A profile block packed + resident on device for repeated scans.
 
-    def __init__(self, block: ProfileBlock):
+    ``n_stream`` picks the residency regime (None = by kpad: regime A for
+    kpad <= RESIDENT_MAX_KPAD, else regime B streaming lengths 4-5)."""
+
+    def __init__(self, block: ProfileBlock, n_stream: int | None = None):
         femis_m, femis_in, trans, B = pack_block(block)
         self.femis_m = jnp.asarray(femis_m)
         self.femis_in = jnp.asarray(femis_in)
@@ -531,6 +651,9 @@ class PallasBlock:
         self.nprofiles = B
         self.kpad = femis_m.shape[-1]
         self.ngroups = femis_m.shape[0]
+        if n_stream is None:
+            n_stream = 0 if self.kpad <= RESIDENT_MAX_KPAD else 2
+        self.n_stream = n_stream
 
     def scores(
         self,
@@ -549,7 +672,7 @@ class PallasBlock:
             seqinfo, seqlens,
             K=self.kpad, P=self.ngroups, nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
-            interpret=interpret,
+            interpret=interpret, n_stream=self.n_stream,
         )
         # [P, SG, nseq, GROUP] -> [S, B]
         P, SG = alt.shape[0], alt.shape[1]
@@ -578,7 +701,9 @@ def viterbi_scores_pallas(
     this convenience wrapper re-packs and re-uploads the tables each call.
     """
     pb = PallasBlock(block)
-    seqinfo, seqlens, S = make_seqinfo(eidx, seq_len)
+    seqinfo, seqlens, S = make_seqinfo(
+        eidx, seq_len, nseq=pick_nseq(len(seq_len), nseq_cap(pb.kpad))
+    )
     alt, null = pb.scores(
         jnp.asarray(seqinfo), jnp.asarray(seqlens), S,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,

@@ -80,6 +80,66 @@ def test_pack_block_layout(setup):
     assert np.all(femis_m[1, :, 5:, :] <= vj.NEG)
 
 
+def test_interpret_regime_b_streaming(setup):
+    """Regime B (length-4/5 rows streamed from HBM) must match regime A
+    and the XLA engine exactly; forced on at small K for testability."""
+    block, eidx, slen, (ref_alt, ref_null) = setup
+    pb = vp.PallasBlock(block, n_stream=2)
+    assert pb.n_stream == 2
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=8)
+    import jax.numpy as jnp
+
+    alt, null = pb.scores(
+        jnp.asarray(seqinfo), jnp.asarray(seqlens), S, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(alt), np.asarray(ref_alt), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(null), np.asarray(ref_null), atol=1e-5
+    )
+
+
+def test_interpret_regime_b_multichunk():
+    """Streaming prefetch across SMEM chunk boundaries (L > 255)."""
+    rng = np.random.default_rng(11)
+    profiles = [sample_profile(s + 1, 9 + s) for s in range(3)]
+    block = vj.build_profile_block(profiles, kpad=16)
+    lens = (250, 256, 400, 510)
+    seqs = ["".join(rng.choice(list("ACGT"), L)) for L in lens]
+    eidx = np.stack(
+        [
+            vj.end_fragment_indices(
+                fragment_indices(DNA.encode(s), pad_to=510)
+            )
+            for s in seqs
+        ]
+    )
+    slen = np.array(lens, np.int32)
+    ref_alt, ref_null = vj.viterbi_scores(block, eidx, slen)
+    pb = vp.PallasBlock(block, n_stream=2)
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=8)
+    import jax.numpy as jnp
+
+    alt, null = pb.scores(
+        jnp.asarray(seqinfo), jnp.asarray(seqlens), S, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(alt), np.asarray(ref_alt), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(null), np.asarray(ref_null), atol=1e-5
+    )
+
+
+def test_regime_choice_and_nseq_cap():
+    assert vp.nseq_cap(128) == 32
+    assert vp.nseq_cap(1024) == 32
+    assert vp.nseq_cap(2048) == 16
+    assert vp.nseq_cap(4096) == 8
+    assert vp.pick_nseq(100, vp.nseq_cap(4096)) == 8
+
+
 def test_chunked_seqinfo_layout():
     # the SMEM chunk buffers are fixed-size, so the stack no longer
     # depends on read length; a 12 kb read just means more chunks
