@@ -96,11 +96,13 @@ class ScanEngine:
         use_pallas: bool | None = None,
         pallas_interpret: bool = False,
         traceback: str = "jax",  # "jax" (fast) | "oracle" (numpy)
+        mesh=None,  # jax.sharding.Mesh('seqs', 'profiles') -> SPMD scan
     ):
         if use_pallas is None:
             import jax
 
             use_pallas = jax.default_backend() == "tpu"
+        self.mesh = mesh
         self.db = db
         self.params = params
         self.block_size = block_size
@@ -136,9 +138,16 @@ class ScanEngine:
 
     def _pallas_block(self, entry):
         if entry[3] is None:
-            from deciphon_tpu.ops import viterbi_pallas as vp
+            if self.mesh is not None:
+                from deciphon_tpu.parallel.pallas_scan import (
+                    ShardedPallasBlock,
+                )
 
-            entry[3] = vp.PallasBlock(self._block(entry))
+                entry[3] = ShardedPallasBlock(self._block(entry), self.mesh)
+            else:
+                from deciphon_tpu.ops import viterbi_pallas as vp
+
+                entry[3] = vp.PallasBlock(self._block(entry))
             entry[1] = None  # host copy no longer needed on this path
         return entry[3]
 
@@ -199,22 +208,48 @@ class ScanEngine:
 
                     nseq = vp.pick_nseq(len(seq_ids), vp.nseq_cap(kpad))
                     if nseq not in seqinfo_of:
+                        import jax
                         import jax.numpy as jnp
 
                         seqinfo, seqlens, S = vp.make_seqinfo(
-                            eidx, slen, nseq=nseq
+                            eidx, slen, nseq=nseq,
+                            sg_multiple=(
+                                self.mesh.shape["seqs"] if self.mesh else 1
+                            ),
                         )
                         # upload once per (length bucket, stack), not
                         # per block
-                        seqinfo_of[nseq] = (
-                            jnp.asarray(seqinfo), jnp.asarray(seqlens), S
-                        )
+                        if self.mesh is not None:
+                            from jax.sharding import (
+                                NamedSharding, PartitionSpec,
+                            )
+
+                            ssh = NamedSharding(
+                                self.mesh, PartitionSpec("seqs")
+                            )
+                            seqinfo_of[nseq] = (
+                                jax.device_put(seqinfo, ssh),
+                                jax.device_put(seqlens, ssh),
+                                S,
+                            )
+                        else:
+                            seqinfo_of[nseq] = (
+                                jnp.asarray(seqinfo), jnp.asarray(seqlens), S
+                            )
                     seqinfo, seqlens, S = seqinfo_of[nseq]
                     alt, null = self._pallas_block(entry).scores(
                         seqinfo, seqlens, S,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
                         interpret=self.pallas_interpret,
+                    )
+                elif self.mesh is not None:
+                    from deciphon_tpu.parallel import pallas_scan as ps
+
+                    alt, null = ps.sharded_viterbi_scores(
+                        self.mesh, self._block(entry), eidx, slen,
+                        multi_hits=p.multi_hits,
+                        hmmer3_compat=p.hmmer3_compat,
                     )
                 else:
                     alt, null = vj.viterbi_scores(

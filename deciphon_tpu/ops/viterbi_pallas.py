@@ -607,10 +607,17 @@ def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:
     return n
 
 
-def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray, nseq: int = 0):
+def make_seqinfo(
+    eidx: np.ndarray, seq_len: np.ndarray, nseq: int = 0,
+    sg_multiple: int = 1,
+):
     """Pack [S, L, 5] end-fragment indices into the kernel's chunked
     [SG, nchunks, nseq*WC] layout plus a [SG, nseq] length array.
-    Returns (seqinfo, seqlens, S)."""
+    Returns (seqinfo, seqlens, S).
+
+    ``sg_multiple`` pads the sequence-group axis to a multiple (so SG
+    shards evenly over a mesh 'seqs' axis); padding groups hold length-0
+    sequences that never capture output."""
     eidx = np.asarray(eidx, np.int32)
     S, L, five = eidx.shape
     assert five == 5
@@ -619,6 +626,7 @@ def make_seqinfo(eidx: np.ndarray, seq_len: np.ndarray, nseq: int = 0):
     nch = max(1, (L + CPOS - 1) // CPOS)
     Sp = ((S + nseq - 1) // nseq) * nseq
     SG = Sp // nseq
+    SG = (SG + sg_multiple - 1) // sg_multiple * sg_multiple
     seqinfo = np.zeros((SG, nch, nseq, WC), np.int32)
     seqlens = np.zeros((SG, SEQROWS, SLPAD), np.int32)
     rows = np.zeros((S, nch * CPOS, 5), np.int32)

@@ -1,0 +1,188 @@
+"""Production sharded scan: the Pallas Viterbi kernel under shard_map.
+
+The TPU-native analogue of the reference's profile partitioning
+(src/db/profile_reader.c:44-72 prefix-sum partitions consumed by the
+OpenMP loop in src/server/scan.c:239-258).  Profile *groups* — the
+kernel's packed [P, ...] leading axis, each one GROUP=16 profiles of a
+common core-size bucket — shard over the mesh's 'profiles' axis, and
+sequence groups shard over 'seqs'.  Each device runs the same Pallas
+kernel on its local (profile-groups x seq-groups) tile; the full score
+matrices come back sharded and the host extracts every LRT-passing
+(seq, profile) pair, preserving single-device scan semantics
+(src/server/scan_thread.c:121-129: all passing pairs, not best-per-read).
+
+Work balance falls out of the packing: every group within a core-size
+bucket costs the same (same kpad, same GROUP width), so a block-cyclic
+placement of groups over 'profiles' is the tensor analogue of
+xmath_partition_size's balanced byte splits (xmath.h:228-234).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deciphon_tpu.ops import viterbi_jax as vj
+from deciphon_tpu.ops import viterbi_pallas as vp
+
+
+def _pad_axis0(a: np.ndarray, mult: int, fill) -> np.ndarray:
+    n = a.shape[0]
+    np_ = (n + mult - 1) // mult * mult
+    if np_ == n:
+        return a
+    pad = np.full((np_ - n,) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+class ShardedPallasBlock:
+    """A PallasBlock whose profile groups are sharded over a mesh.
+
+    Same `.scores()` contract as ops.viterbi_pallas.PallasBlock: padding
+    groups carry NEG everywhere so their scores never pass the LRT gate,
+    and the caller slices [:nseqs, :nprofiles] off the merged matrix.
+    """
+
+    def __init__(self, block: vj.ProfileBlock, mesh: Mesh,
+                 n_stream: int | None = None):
+        femis_m, femis_in, trans, B = vp.pack_block(block)
+        self.mesh = mesh
+        dp = mesh.shape["profiles"]
+        femis_m = _pad_axis0(femis_m, dp, vj.NEG)
+        femis_in = _pad_axis0(femis_in, dp, vj.NEG)
+        trans = _pad_axis0(trans, dp, vj.NEG)
+        sh = NamedSharding(mesh, P("profiles"))
+        self.femis_m = jax.device_put(femis_m, sh)
+        self.femis_in = jax.device_put(femis_in, sh)
+        self.trans = jax.device_put(trans, sh)
+        self.nprofiles = B
+        self.kpad = femis_m.shape[-1]
+        self.ngroups = femis_m.shape[0]
+        if n_stream is None:
+            n_stream = 0 if self.kpad <= vp.RESIDENT_MAX_KPAD else 2
+        self.n_stream = n_stream
+
+    def put_seqs(self, seqinfo: np.ndarray, seqlens: np.ndarray):
+        """Upload a packed sequence batch sharded over 'seqs'.  The SG
+        axis must already be a multiple of the mesh's 'seqs' size (pass
+        sg_multiple to make_seqinfo)."""
+        sh = NamedSharding(self.mesh, P("seqs"))
+        return jax.device_put(seqinfo, sh), jax.device_put(seqlens, sh)
+
+    def scores(self, seqinfo, seqlens, nseqs: int,
+               multi_hits: bool = True, hmmer3_compat: bool = False,
+               interpret: bool = False):
+        nseq = seqinfo.shape[2] * seqinfo.shape[3] // vp.WC
+        alt, null = _run_sharded(
+            self.mesh, self.femis_m, self.femis_in, self.trans,
+            seqinfo, seqlens,
+            K=self.kpad, nseq=nseq,
+            multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+            interpret=interpret, n_stream=self.n_stream,
+        )
+        P_, SG = alt.shape[0], alt.shape[1]
+        alt = (
+            jnp.transpose(alt, (1, 2, 0, 3))
+            .reshape(SG * nseq, P_ * vp.GROUP)[:nseqs, : self.nprofiles]
+        )
+        null = (
+            jnp.transpose(null, (1, 2, 0, 3))
+            .reshape(SG * nseq, P_ * vp.GROUP)[:nseqs, : self.nprofiles]
+        )
+        return alt, null
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "K", "nseq", "multi_hits", "hmmer3_compat", "interpret",
+        "n_stream",
+    ),
+)
+def _run_sharded(mesh, femis_m, femis_in, trans, seqinfo, seqlens, *,
+                 K, nseq, multi_hits, hmmer3_compat, interpret, n_stream):
+    def local(fm, fin, tr, si, sl):
+        return vp._run(
+            fm, fin, tr, si, sl,
+            K=K, P=fm.shape[0], nseq=nseq,
+            multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+            interpret=interpret, n_stream=n_stream,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("profiles"), P("profiles"), P("profiles"),
+                  P("seqs"), P("seqs")),
+        out_specs=(P("profiles", "seqs"), P("profiles", "seqs")),
+        check_vma=False,
+    )
+    return fn(femis_m, femis_in, trans, seqinfo, seqlens)
+
+
+def sharded_viterbi_scores(
+    mesh: Mesh,
+    block: vj.ProfileBlock,  # host (numpy) block
+    eidx: np.ndarray,
+    seq_len: np.ndarray,
+    multi_hits: bool = True,
+    hmmer3_compat: bool = False,
+):
+    """XLA-engine scan step under shard_map: full (alt, null) matrices.
+
+    Fallback path for blocks outside the Pallas envelope; pads the
+    profile axis to the 'profiles' mesh size and the sequence axis to
+    'seqs', then slices the padding back off.  Returns device arrays
+    [S, B]."""
+    dp = mesh.shape["profiles"]
+    ds = mesh.shape["seqs"]
+    B = block.fm.shape[0]
+    S = eidx.shape[0]
+    padded = vj.ProfileBlock(
+        *(
+            _pad_axis0(np.asarray(a),
+                       dp,
+                       1 if a.dtype == np.int32 else vj.NEG)
+            for a in block
+        )
+    )
+    eidx_p = _pad_axis0(np.asarray(eidx, np.int32), ds, 0)
+    slen_p = _pad_axis0(np.asarray(seq_len, np.int32), ds, 1)
+    psh = NamedSharding(mesh, P("profiles"))
+    ssh = NamedSharding(mesh, P("seqs"))
+    dev_block = tuple(jax.device_put(a, psh) for a in padded)
+    deidx = jax.device_put(eidx_p, ssh)
+    dslen = jax.device_put(slen_p, ssh)
+    alt, null = _xla_sharded(
+        mesh, dev_block, deidx, dslen,
+        multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+    )
+    return alt[:S, :B], null[:S, :B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "multi_hits", "hmmer3_compat")
+)
+def _xla_sharded(mesh, block_arrays, eidx, seq_len, *,
+                 multi_hits, hmmer3_compat):
+    nb = len(block_arrays)
+
+    def local(blk, e, sl):
+        return vj.viterbi_scores(
+            vj.ProfileBlock(*blk), e, sl,
+            multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(tuple(P("profiles") for _ in range(nb)),
+                  P("seqs"), P("seqs")),
+        out_specs=(P("seqs", "profiles"), P("seqs", "profiles")),
+        check_vma=False,
+    )
+    return fn(block_arrays, eidx, seq_len)

@@ -127,6 +127,31 @@ class Server:
         self.api.upload_db(db_path)
         self.api.set_job_state(job.id, JobState.DONE)
 
+    def _scan_mesh(self):
+        """('seqs' x 'profiles') mesh over all visible devices, or None
+        single-chip.  The multi-device scan shards profile groups over
+        'profiles' and read batches over 'seqs' (the tensor analogue of
+        the reference's <=64 DB partitions, src/db/profile_reader.c:44-72);
+        DCP_MESH_PROFILES overrides the profile-axis size."""
+        if not hasattr(self, "_mesh"):
+            import jax
+
+            n = len(jax.devices())
+            if n <= 1:
+                self._mesh = None
+            else:
+                from deciphon_tpu.parallel.mesh import make_scan_mesh
+
+                paxis = os.environ.get("DCP_MESH_PROFILES")
+                self._mesh = make_scan_mesh(
+                    profile_axis=int(paxis) if paxis else None
+                )
+                log.info(
+                    "scan mesh: %d seqs x %d profiles",
+                    self._mesh.shape["seqs"], self._mesh.shape["profiles"],
+                )
+        return self._mesh
+
     def _engine(self, path: str, xxh3: int, params: ScanParams) -> ScanEngine:
         """LRU of scan engines: repeated scans of the same DB reuse the
         tensorized profile blocks already resident on device (the fix
@@ -139,7 +164,9 @@ class Server:
         if key not in cache:
             if len(cache) >= 4:  # bound device/host memory
                 cache.pop(next(iter(cache)))
-            cache[key] = ScanEngine(TensorDB.load(path), params)
+            cache[key] = ScanEngine(
+                TensorDB.load(path), params, mesh=self._scan_mesh()
+            )
         else:  # refresh LRU order
             cache[key] = cache.pop(key)
         return cache[key]

@@ -61,3 +61,74 @@ def test_sharded_matches_single_device(data, paxis):
     np.testing.assert_allclose(np.asarray(lrt), ref_lrt, atol=1e-5)
     np.testing.assert_allclose(np.asarray(best), ref_lrt.max(1), atol=1e-5)
     assert np.array_equal(np.asarray(arg), ref_lrt.argmax(1))
+
+
+# ---------------------------------------------------------------------------
+# Production sharded ScanEngine (Pallas kernel under shard_map)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scan_db(tmp_path_factory):
+    from deciphon_tpu.db.format import TensorDB, write_db
+
+    rng = np.random.default_rng(11)
+    path = str(tmp_path_factory.mktemp("db") / "mini.dtp")
+    write_db(
+        path,
+        [sample_profile(s + 1, int(rng.integers(2, 12))) for s in range(10)],
+    )
+    seqs = [
+        "".join(rng.choice(list("ACGT"), int(rng.integers(20, 60))))
+        for _ in range(7)
+    ]
+    return TensorDB.load(path), seqs
+
+
+def _hits(engine, seqs):
+    from deciphon_tpu.ops.scan_engine import SeqRecord
+
+    return engine.scan(
+        [SeqRecord(i, f"s{i}", s) for i, s in enumerate(seqs)]
+    )
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_sharded_scan_engine_matches_single(scan_db, use_pallas):
+    """The production mesh mode extracts the SAME full hit list (every
+    LRT-passing (seq, profile) pair) with the same match strings as the
+    single-device engine — the scan-semantics bar of scan_thread.c:121-129
+    + prod.c:106-145."""
+    from deciphon_tpu.ops.scan_engine import ScanEngine, ScanParams
+
+    db, seqs = scan_db
+    params = ScanParams(lrt_threshold=-1e9)  # keep every pair
+    mesh = make_scan_mesh(profile_axis=4, seq_axis=2)
+    sharded = ScanEngine(
+        db, params, mesh=mesh,
+        use_pallas=use_pallas, pallas_interpret=use_pallas,
+    )
+    single = ScanEngine(
+        db, params, use_pallas=use_pallas, pallas_interpret=use_pallas,
+    )
+    hs, h1 = _hits(sharded, seqs), _hits(single, seqs)
+    assert len(hs) == len(h1) == len(seqs) * db.nprofiles
+    for a, b in zip(hs, h1):
+        assert (a.seq_idx, a.profile_idx) == (b.seq_idx, b.profile_idx)
+        assert a.alt_loglik == pytest.approx(b.alt_loglik, abs=1e-4)
+        assert a.null_loglik == pytest.approx(b.null_loglik, abs=1e-4)
+        assert a.match == b.match
+
+
+def test_sharded_scan_engine_thresholded(scan_db):
+    """Real-threshold parity: hit coordinates survive sharding exactly."""
+    from deciphon_tpu.ops.scan_engine import ScanEngine, ScanParams
+
+    db, seqs = scan_db
+    params = ScanParams(lrt_threshold=10.0)
+    mesh = make_scan_mesh(profile_axis=2, seq_axis=4)
+    hs = _hits(ScanEngine(db, params, mesh=mesh, use_pallas=False), seqs)
+    h1 = _hits(ScanEngine(db, params, use_pallas=False), seqs)
+    assert [(h.seq_idx, h.profile_idx, h.match) for h in hs] == [
+        (h.seq_idx, h.profile_idx, h.match) for h in h1
+    ]
