@@ -59,6 +59,32 @@ DNA = Alphabet("dna", "ACGT")
 RNA = Alphabet("rna", "ACGU")
 AMINO = Alphabet("amino", "ACDEFGHIKLMNPQRSTVWY")
 
+# IUPAC nucleotide encoding for metagenomic reads (the reference scans
+# with imm_dna_iupac, src/server/hmm.c:72-73 + scan.c:229).  A/C/G/T map
+# to 0..3, U to T, and every ambiguity code to 4 = N, scored as the exact
+# marginal over A/C/G/T by the base-5 fragment tables (models/frame.py).
+# For partially-degenerate codes (R, Y, ...) the N marginal is a
+# documented superset approximation.
+_IUPAC_TABLE = np.full(256, -1, dtype=np.int8)
+for _i, _s in enumerate("ACGT"):
+    _IUPAC_TABLE[ord(_s)] = _i
+    _IUPAC_TABLE[ord(_s.lower())] = _i
+for _s in "UuTt":
+    _IUPAC_TABLE[ord(_s)] = 3
+for _s in "NXRYSWKMBDHV":
+    _IUPAC_TABLE[ord(_s)] = 4
+    _IUPAC_TABLE[ord(_s.lower())] = 4
+
+
+def encode_iupac(seq: str) -> np.ndarray:
+    """Encode DNA with IUPAC ambiguity codes: ACGT -> 0..3, U -> 3,
+    N/X and partial codes -> 4.  Raises on non-IUPAC symbols."""
+    out = _IUPAC_TABLE[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+    if (out < 0).any():
+        bad = seq[int(np.argmax(out < 0))]
+        raise ValueError(f"symbol {bad!r} is not an IUPAC nucleotide code")
+    return out
+
 # NCBI translation table 1 (standard), codon base order TCAG in the canonical
 # listing; '*' marks stop codons.  Equivalent to the reference's imm_gc table
 # id 1 (imm_gc_codon/imm_gc_aa/imm_gc_decode usage in protein_model.c:349-389).

@@ -62,7 +62,9 @@ def match_steps(
 ) -> list[MatchStep]:
     """Per-step match cells 'frag,state,codon,amino' (mute states keep the
     codon/amino fields empty), e.g. 'CG,M1,CGA,K'."""
-    seq_idx = DNA.encode(seq)
+    from deciphon_tpu.models.alphabet import encode_iupac
+
+    seq_idx = encode_iupac(seq)
     out = []
     pos = 0
     for state_id, seqlen in path:

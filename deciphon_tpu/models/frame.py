@@ -55,14 +55,36 @@ FRAG_OFFSET = (0, 0, 4, 20, 84, 340)  # index by length 1..5
 NFRAGS = 1364
 FRAG_SENTINEL = NFRAGS  # table size NFRAGS + 1, last entry -inf
 
+# IUPAC-extended layout over the 5-symbol alphabet ACGT+N, where symbol
+# index 4 (N) is scored as the EXACT marginal over A/C/G/T: every term of
+# the fragment probability is multilinear in each observed position's
+# nucleotide indicator, so summing a position over the four concrete
+# nucleotides equals evaluating it with the codon-marginal "any" pattern
+# (index 4 in the base-5 marg table) and the q sentinel q[4] = 1 — the
+# same machinery the error model already uses for unobserved positions.
+# This reproduces the reference's imm iupac scoring for ambiguous reads
+# (src/server/hmm.c:72-73 imm_dna_iupac, consumed at scan.c:229).
+FRAG_OFFSET5 = (0, 0, 5, 30, 155, 780)
+NFRAGS5 = 3905
+FRAG_SENTINEL5 = NFRAGS5
 
-def frag_index(frag: np.ndarray) -> int:
+
+def frag_layout(base: int = 4):
+    """(offsets, sentinel) for the 4-symbol or 5-symbol fragment layout."""
+    if base == 4:
+        return FRAG_OFFSET, FRAG_SENTINEL
+    assert base == 5
+    return FRAG_OFFSET5, FRAG_SENTINEL5
+
+
+def frag_index(frag: np.ndarray, base: int = 4) -> int:
     """Index of a fragment (int array of nucleotide indices, len 1..5)."""
+    offsets, _ = frag_layout(base)
     n = len(frag)
     idx = 0
     for z in frag:
-        idx = idx * 4 + int(z)
-    return FRAG_OFFSET[n] + idx
+        idx = idx * base + int(z)
+    return offsets[n] + idx
 
 
 def _build_terms():
@@ -164,9 +186,9 @@ def term_coefs(eps: float) -> dict[str, float]:
     }
 
 
-def _enumerate_frags(length: int) -> np.ndarray:
-    """[4^length, length] array of all fragments of the given length."""
-    grids = np.meshgrid(*([np.arange(4)] * length), indexing="ij")
+def _enumerate_frags(length: int, base: int = 4) -> np.ndarray:
+    """[base^length, length] array of all fragments of the given length."""
+    grids = np.meshgrid(*([np.arange(base)] * length), indexing="ij")
     return np.stack([g.reshape(-1) for g in grids], axis=-1)
 
 
@@ -264,10 +286,10 @@ def q5_pad(q_log: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-_FRAG_MATRIX_CACHE: dict[float, np.ndarray] = {}
+_FRAG_MATRIX_CACHE: dict[tuple[float, int], np.ndarray] = {}
 
 
-def fragment_matrix(eps: float) -> np.ndarray:
+def fragment_matrix(eps: float, base: int = 4) -> np.ndarray:
     """[3125, NFRAGS+1] coefficient matrix C for the matmul form of the
     fragment scores:
 
@@ -275,13 +297,19 @@ def fragment_matrix(eps: float) -> np.ndarray:
 
     i.e. ``probs = (qp (x) qp (x) Mp) @ C`` — one GEMM scores every
     fragment for a whole batch of frame states (BLAS on host; MXU-ready
-    on device).  The sentinel column stays all-zero -> log 0 = -inf."""
-    if eps in _FRAG_MATRIX_CACHE:
-        return _FRAG_MATRIX_CACHE[eps]
+    on device).  The sentinel column stays all-zero -> log 0 = -inf.
+
+    With base=5 the fragment set extends over ACGT+N; an N position
+    (value 4) routes to the "any" marg pattern and the q[4]=1 sentinel,
+    which IS the exact A/C/G/T marginal (see layout note above)."""
+    key = (eps, base)
+    if key in _FRAG_MATRIX_CACHE:
+        return _FRAG_MATRIX_CACHE[key]
+    offsets, sentinel = frag_layout(base)
     coefs = term_coefs(eps)
-    C = np.zeros((3125, NFRAGS + 1), dtype=np.float64)
+    C = np.zeros((3125, sentinel + 1), dtype=np.float64)
     for length in range(1, 6):
-        frags = _enumerate_frags(length)
+        frags = _enumerate_frags(length, base)
         fragx = np.concatenate(
             [frags, np.full((frags.shape[0], 1), 4, dtype=frags.dtype)],
             axis=1,
@@ -294,15 +322,15 @@ def fragment_matrix(eps: float) -> np.ndarray:
         iidx = fragx[:, isel]  # [F, T, 2]
         coef = np.array([coefs[c] for c in cls])  # [T]
         rows = iidx[..., 0] * 625 + iidx[..., 1] * 125 + midx  # [F, T]
-        off = FRAG_OFFSET[length]
+        off = offsets[length]
         for f in range(frags.shape[0]):
             np.add.at(C[:, off + f], rows[f], coef)
-    _FRAG_MATRIX_CACHE[eps] = C
+    _FRAG_MATRIX_CACHE[key] = C
     return C
 
 
 def fragment_table(
-    marg125_log: np.ndarray, q5_log: np.ndarray, eps: float
+    marg125_log: np.ndarray, q5_log: np.ndarray, eps: float, base: int = 4
 ) -> np.ndarray:
     """Score every fragment of length 1..5 for a (batch of) frame state(s).
 
@@ -310,8 +338,10 @@ def fragment_table(
       marg125_log: [..., 125] codon log-marginal table(s).
       q5_log: [..., 5] background nucleotide log-probs, q5_log[..., 4] = 0.
       eps: indel error rate.
+      base: 4 (ACGT) or 5 (ACGT+N, exact N marginals; see layout note).
 
-    Returns: [..., 1365] log P(Z) with the last entry -inf (padding sentinel).
+    Returns: [..., 1365] (base 4) or [..., 3906] (base 5) log P(Z) with
+    the last entry -inf (padding sentinel).
 
     One dgemm against ``fragment_matrix`` — ~8x the per-term loop
     (``fragment_table_terms``) on Pfam-scale databases.
@@ -321,18 +351,18 @@ def fragment_table(
     batch = marg125_log.shape[:-1]
     Mp = np.exp(marg125_log)
     qp = np.exp(q5_log)
-    C = fragment_matrix(eps)
+    C = fragment_matrix(eps, base)
     qq = (qp[..., :, None] * qp[..., None, :]).reshape(batch + (25,))
     D = (qq[..., :, None] * Mp[..., None, :]).reshape(batch + (3125,))
     probs = D @ C
     with np.errstate(divide="ignore"):
         out = np.log(probs)
-    out[..., FRAG_SENTINEL] = -np.inf
+    out[..., frag_layout(base)[1]] = -np.inf
     return out
 
 
 def fragment_table_terms(
-    marg125_log: np.ndarray, q5_log: np.ndarray, eps: float
+    marg125_log: np.ndarray, q5_log: np.ndarray, eps: float, base: int = 4
 ) -> np.ndarray:
     """Per-term reference implementation of ``fragment_table`` (kept for
     cross-validation; same semantics, explicit loop over error terms)."""
@@ -342,10 +372,11 @@ def fragment_table_terms(
     Mp = np.exp(marg125_log)
     qp = np.exp(q5_log)
     coefs = term_coefs(eps)
+    offsets, sentinel = frag_layout(base)
 
-    out = np.zeros(batch + (NFRAGS + 1,), dtype=np.float64)
+    out = np.zeros(batch + (sentinel + 1,), dtype=np.float64)
     for length in range(1, 6):
-        frags = _enumerate_frags(length)  # [F, length]
+        frags = _enumerate_frags(length, base)  # [F, length]
         fragx = np.concatenate(
             [frags, np.full((frags.shape[0], 1), 4, dtype=frags.dtype)], axis=1
         )  # extra col: index `length` holds the q/M sentinel 4
@@ -366,9 +397,9 @@ def fragment_table_terms(
         )  # [..., F, T]
         probs = np.sum(contrib, axis=-1)
         with np.errstate(divide="ignore"):
-            off = FRAG_OFFSET[length]
+            off = offsets[length]
             out[..., off : off + frags.shape[0]] = np.log(probs)
-    out[..., FRAG_SENTINEL] = -np.inf
+    out[..., sentinel] = -np.inf
     return out
 
 
@@ -398,7 +429,7 @@ def loglik_given_codon(
         match = np.ones(64, dtype=np.float64)
         for p in range(3):
             s = marg_sel[t, p]
-            if s != ANY:
+            if s != ANY and frag[s] != 4:  # frag value 4 = N matches all
                 match = match * (codons[:, p] == frag[s])
         qfac = 1.0
         for k in range(2):

@@ -139,12 +139,13 @@ class ProteinProfile:
 
     name: str = ""
 
-    def fragment_tables(self):
-        """(F_match [K,1365], F_insert [1365], F_null [1365]) log scores."""
+    def fragment_tables(self, base: int = 4):
+        """(F_match [K,T], F_insert [T], F_null [T]) log scores, where
+        T = 1365 (base 4) or 3906 (base 5, IUPAC N-extended)."""
         eps = self.cfg.epsilon
-        fm = frame.fragment_table(self.match_marg, self.match_q, eps)
-        fi = frame.fragment_table(self.insert_marg, self.insert_q, eps)
-        fn = frame.fragment_table(self.null_marg, self.null_q, eps)
+        fm = frame.fragment_table(self.match_marg, self.match_q, eps, base)
+        fi = frame.fragment_table(self.insert_marg, self.insert_q, eps, base)
+        fn = frame.fragment_table(self.null_marg, self.null_q, eps, base)
         return fm, fi, fn
 
 

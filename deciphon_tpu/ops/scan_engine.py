@@ -111,7 +111,8 @@ class ScanEngine:
         self.pallas_interpret = pallas_interpret
         self.traceback = traceback
         # entry = [chunk, host ProfileBlock|None, kpad, PallasBlock|None,
-        #          device ProfileBlock|None]
+        #          device ProfileBlock|None, iupac host block|None,
+        #          iupac device block|None]
         self._blocks: list[list] = []
         self._kpad_of: dict[int, int] = {}
         # The Pallas kernel rounds K up to whole 128-lane tiles anyway, so
@@ -123,18 +124,28 @@ class ScanEngine:
         for kpad, idxs in bucket_by_core_size(core_pad, lane).items():
             for i in range(0, len(idxs), block_size):
                 chunk = idxs[i : i + block_size]
-                self._blocks.append([chunk, None, kpad, None, None])
+                self._blocks.append([chunk, None, kpad, None, None, None, None])
                 for gi in chunk:
                     self._kpad_of[int(gi)] = kpad
 
     def _block(self, entry) -> vj.ProfileBlock:
         """Host (numpy) tensor block for this chunk."""
-        chunk, block, kpad, _, _ = entry
+        chunk, block, kpad = entry[0], entry[1], entry[2]
         if block is None:
             profiles = [self.db.profile(int(i)) for i in chunk]
             block = vj.build_profile_block(profiles, kpad=kpad)
             entry[1] = block
         return block
+
+    def _iupac_block(self, entry) -> vj.ProfileBlock:
+        """Host base-5 (IUPAC-N) tensor block, built lazily: only scans
+        whose reads actually contain ambiguity codes pay for it."""
+        if entry[5] is None:
+            profiles = [self.db.profile(int(i)) for i in entry[0]]
+            entry[5] = vj.build_profile_block(
+                profiles, kpad=entry[2], base=5
+            )
+        return entry[5]
 
     def _pallas_block(self, entry):
         if entry[3] is None:
@@ -171,26 +182,31 @@ class ScanEngine:
             return self._scan(seqs)
 
     def _scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
-        # length-bucket the sequences
-        by_len: dict[int, list[int]] = {}
+        # length-bucket the sequences; reads containing IUPAC ambiguity
+        # codes (N etc., encoded 4) bucket separately — they score via
+        # the XLA engine against base-5 (N-marginal) fragment tables,
+        # while pure-ACGT reads stay on the Pallas fast path.  Mirrors
+        # the reference's imm_dna_iupac scan alphabet (hmm.c:72-73).
+        from deciphon_tpu.models.alphabet import encode_iupac
+
+        by_len: dict[tuple[int, bool], list[int]] = {}
         encoded = []
         for si, rec in enumerate(seqs):
-            enc = DNA.encode(rec.data)
-            if np.any(enc >= 4):
-                raise ValueError(
-                    f"sequence {rec.seq_id} contains ambiguous symbols"
-                )
+            enc = encode_iupac(rec.data)
             encoded.append(enc)
-            by_len.setdefault(pad_seq_len(len(enc)), []).append(si)
+            iupac = bool(np.any(enc >= 4))
+            by_len.setdefault((pad_seq_len(len(enc)), iupac), []).append(si)
 
         hits: list[Hit] = []
         p = self.params
         counters = trace.ScanCounters()
-        for lp, seq_ids in sorted(by_len.items()):
+        for (lp, iupac), seq_ids in sorted(by_len.items()):
+            base = 5 if iupac else 4
             eidx = np.stack(
                 [
                     vj.end_fragment_indices(
-                        fragment_indices(encoded[si], pad_to=lp)
+                        fragment_indices(encoded[si], pad_to=lp, base=base),
+                        base=base,
                     )
                     for si in seq_ids
                 ]
@@ -199,11 +215,38 @@ class ScanEngine:
             seqinfo_of: dict[int, tuple] = {}  # nseq stack -> packed batch
             len_sum = int(slen.sum())
             for entry in self._blocks:
-                chunk, _, kpad, _, _ = entry
+                chunk, kpad = entry[0], entry[2]
                 counters.consume(
                     len_sum, int(self.db.core_sizes[chunk].sum())
                 )
-                if self.use_pallas and kpad <= PALLAS_MAX_KPAD:
+                if iupac:
+                    # base-5 tables exceed the kernel's VMEM residency
+                    # plan; the XLA engine gathers them from HBM with no
+                    # layout constraint (ambiguous reads are rare)
+                    if self.mesh is not None:
+                        from deciphon_tpu.parallel import pallas_scan as ps
+
+                        alt, null = ps.sharded_viterbi_scores(
+                            self.mesh, self._iupac_block(entry), eidx, slen,
+                            multi_hits=p.multi_hits,
+                            hmmer3_compat=p.hmmer3_compat,
+                        )
+                    else:
+                        import jax.numpy as jnp
+
+                        if entry[6] is None:
+                            entry[6] = vj.ProfileBlock(
+                                *(
+                                    jnp.asarray(a)
+                                    for a in self._iupac_block(entry)
+                                )
+                            )
+                        alt, null = vj.viterbi_scores(
+                            entry[6], eidx, slen,
+                            multi_hits=p.multi_hits,
+                            hmmer3_compat=p.hmmer3_compat,
+                        )
+                elif self.use_pallas and kpad <= PALLAS_MAX_KPAD:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
                     nseq = vp.pick_nseq(len(seq_ids), vp.nseq_cap(kpad))
@@ -284,11 +327,13 @@ class ScanEngine:
         alt: float, null: float, lrt: float,
     ) -> Hit:
         prof = self.db.profile(profile_idx)
+        base = 5 if bool(np.any(enc >= 4)) else 4
         if self.traceback == "oracle":
             res = vr.viterbi_alt(
                 prof, enc,
                 multi_hits=self.params.multi_hits,
                 hmmer3_compat=self.params.hmmer3_compat,
+                base=base,
             )
         else:
             from deciphon_tpu.ops import viterbi_trace as vtr
@@ -301,10 +346,11 @@ class ScanEngine:
                 hmmer3_compat=self.params.hmmer3_compat,
                 block_row=tuple(
                     vj.build_profile_block(
-                        [prof], kpad=self._kpad_of[profile_idx]
+                        [prof], kpad=self._kpad_of[profile_idx], base=base
                     )
                 ),
                 pad_to=pad_seq_len(len(enc)),
+                base=base,
             )
         match = codec.render_match(codec.match_steps(prof, rec.data, res.path))
         return Hit(

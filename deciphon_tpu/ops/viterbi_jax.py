@@ -64,7 +64,7 @@ def _clamp(a: np.ndarray) -> np.ndarray:
 
 
 def build_profile_block(
-    profiles: list[ProteinProfile], kpad: int | None = None
+    profiles: list[ProteinProfile], kpad: int | None = None, base: int = 4
 ) -> ProfileBlock:
     """Stack + pad host-side profiles into a block of HOST (numpy) arrays.
 
@@ -78,15 +78,18 @@ def build_profile_block(
     if kpad is not None:
         assert kpad >= K
         K = kpad
+    from deciphon_tpu.models.frame import frag_layout
+
+    ntab = frag_layout(base)[1] + 1
 
     def padk(a, fill):
         out = np.full(K, fill, dtype=np.float64)
         out[: len(a)] = a
         return _clamp(out)
 
-    fm = np.full((B, K, FRAG_SENTINEL + 1), NEG, dtype=np.float32)
-    fi = np.empty((B, FRAG_SENTINEL + 1), dtype=np.float32)
-    fn = np.empty((B, FRAG_SENTINEL + 1), dtype=np.float32)
+    fm = np.full((B, K, ntab), NEG, dtype=np.float32)
+    fi = np.empty((B, ntab), dtype=np.float32)
+    fn = np.empty((B, ntab), dtype=np.float32)
     arrs = {
         name: np.empty((B, K), dtype=np.float32)
         for name in (
@@ -95,7 +98,7 @@ def build_profile_block(
     }
     core = np.empty(B, dtype=np.int32)
     for b, p in enumerate(profiles):
-        fmat, fins, fnull = p.fragment_tables()
+        fmat, fins, fnull = p.fragment_tables(base=base)
         fm[b, : p.core_size] = _clamp(fmat)
         fi[b] = _clamp(fins)
         fn[b] = _clamp(fnull)
@@ -105,15 +108,18 @@ def build_profile_block(
     return ProfileBlock(fm=fm, fi=fi, fn=fn, core_size=core, **arrs)
 
 
-def end_fragment_indices(fidx: np.ndarray) -> np.ndarray:
+def end_fragment_indices(fidx: np.ndarray, base: int = 4) -> np.ndarray:
     """[Lp, 5] indices of fragments *ending* at position i (i = 1..Lp).
 
     eidx[i-1, l-1] = fragment index of seq[i-l : i] (start-indexed table
     fidx from ops/emissions.fragment_indices), or the -inf sentinel when
     i - l < 0.
     """
+    from deciphon_tpu.models.frame import frag_layout
+
+    sentinel = frag_layout(base)[1]
     Lp = fidx.shape[0]
-    out = np.full((Lp, 5), FRAG_SENTINEL, dtype=np.int32)
+    out = np.full((Lp, 5), sentinel, dtype=np.int32)
     for l in range(1, 6):
         out[l - 1 :, l - 1] = fidx[: Lp - l + 1, l - 1]
     return out

@@ -35,13 +35,13 @@ class ViterbiResult:
 
 
 def viterbi_null(prof: ProteinProfile, seq_idx: np.ndarray,
-                 multi_hits: bool = True, hmmer3_compat: bool = False
-                 ) -> ViterbiResult:
+                 multi_hits: bool = True, hmmer3_compat: bool = False,
+                 base: int = 4) -> ViterbiResult:
     """Null-model Viterbi: R self-loop with cost RR per extra step."""
     L = len(seq_idx)
     xt = special_transitions(L, multi_hits, hmmer3_compat)
-    fidx = fragment_indices(seq_idx)
-    _, _, fnull = prof.fragment_tables()
+    fidx = fragment_indices(seq_idx, base=base)
+    _, _, fnull = prof.fragment_tables(base=base)
 
     V = np.full(L + 1, NEG)
     bp_len = np.zeros(L + 1, dtype=np.int32)
@@ -66,13 +66,13 @@ def viterbi_null(prof: ProteinProfile, seq_idx: np.ndarray,
 
 
 def viterbi_alt(prof: ProteinProfile, seq_idx: np.ndarray,
-                multi_hits: bool = True, hmmer3_compat: bool = False
-                ) -> ViterbiResult:
+                multi_hits: bool = True, hmmer3_compat: bool = False,
+                base: int = 4) -> ViterbiResult:
     K = prof.core_size
     L = len(seq_idx)
     xt = special_transitions(L, multi_hits, hmmer3_compat)
-    fidx = fragment_indices(seq_idx)
-    fm, fi, fn = prof.fragment_tables()
+    fidx = fragment_indices(seq_idx, base=base)
+    fm, fi, fn = prof.fragment_tables(base=base)
 
     VM = np.full((L + 1, K), NEG)
     VI = np.full((L + 1, K), NEG)

@@ -262,19 +262,23 @@ def viterbi_alt(
     hmmer3_compat: bool = False,
     block_row=None,
     pad_to: int | None = None,
+    base: int = 4,
 ) -> vr.ViterbiResult:
     """Drop-in accelerated replacement for viterbi_ref.viterbi_alt.
 
     Pass a prebuilt single-profile ``block_row`` (tuple(ProfileBlock)) to
     skip re-tensorizing per hit; ``pad_to`` pads the position axis so jit
-    caches compile once per length bucket.
+    caches compile once per length bucket.  ``base=5`` scores
+    IUPAC-N-extended sequences (block_row must be built with base=5).
     """
     if block_row is None:
-        block_row = tuple(build_profile_block([prof]))
+        block_row = tuple(build_profile_block([prof], base=base))
     row = tuple(a[0] for a in block_row)
     L = len(seq_idx)
     Lp = pad_to or L
-    eidx = end_fragment_indices(fragment_indices(seq_idx, pad_to=Lp))
+    eidx = end_fragment_indices(
+        fragment_indices(seq_idx, pad_to=Lp, base=base), base=base
+    )
     alt, _, ys = _trace_scan(
         row, jnp.asarray(eidx), jnp.int32(L), multi_hits, hmmer3_compat
     )

@@ -117,10 +117,73 @@ def test_scan_threshold_filters(db):
     assert eng_hi.scan([SeqRecord(1, "r", read)]) == []
 
 
-def test_scan_rejects_ambiguous(db):
+def test_scan_rejects_non_iupac(db):
     eng = ScanEngine(db)
     with pytest.raises(ValueError):
-        eng.scan([SeqRecord(1, "r", "ACGTX")])
+        eng.scan([SeqRecord(1, "r", "ACGTZ")])
+
+
+def test_scan_accepts_iupac_n(db):
+    """Reads containing N scan instead of raising (reference accepts
+    IUPAC-ambiguous reads via imm_dna_iupac, src/server/hmm.c:72-73).
+    Planting N into a consensus read must still hit its profile, and
+    the engine LRT must match the base-5 oracle exactly on that pair."""
+    from deciphon_tpu.models.alphabet import encode_iupac
+
+    target = db.profile(2)
+    read = consensus_dna(target)
+    noisy = read[:6] + "N" + read[7:12] + "N" + read[13:]
+    eng = ScanEngine(db, ScanParams(lrt_threshold=10.0))
+    hits = eng.scan([SeqRecord(1, "r", noisy), SeqRecord(2, "c", read)])
+    by_seq = {(h.seq_id, h.profile_idx) for h in hits}
+    assert (1, 2) in by_seq and (2, 2) in by_seq
+    h = next(h for h in hits if h.seq_id == 1 and h.profile_idx == 2)
+    enc = encode_iupac(noisy)
+    ora = vr.viterbi_alt(target, enc, base=5)
+    orn = vr.viterbi_null(target, enc, base=5)
+    assert h.alt_loglik == pytest.approx(ora.loglik, abs=1e-3)
+    assert h.null_loglik == pytest.approx(orn.loglik, abs=1e-3)
+    assert h.path == ora.path
+    # N carries less information than the concrete consensus symbol
+    assert h.lrt < next(
+        g.lrt for g in hits if g.seq_id == 2 and g.profile_idx == 2
+    )
+
+
+def test_iupac_n_is_exact_marginal(db):
+    """Fragment-table N scores == logsumexp over the 4 concrete
+    substitutions (the multilinearity identity the base-5 layout relies
+    on), checked against the per-term reference implementation."""
+    from deciphon_tpu.models import frame
+
+    prof = db.profile(1)
+    fm5 = frame.fragment_table(
+        prof.match_marg, prof.match_q, prof.cfg.epsilon, base=5
+    )
+    fm4 = frame.fragment_table(
+        prof.match_marg, prof.match_q, prof.cfg.epsilon, base=4
+    )
+    # fragment "A N G" (len 3): sum over x of p(A x G)
+    concrete = [
+        fm4[:, frame.frag_index(np.array([0, x, 2]))] for x in range(4)
+    ]
+    want = np.logaddexp.reduce(np.stack(concrete), axis=0)
+    got = fm5[:, frame.frag_index(np.array([0, 4, 2]), base=5)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # all-N fragment of length 2 sums to the total length-2 mass
+    allc = [
+        fm4[:, frame.frag_index(np.array([x, y]))]
+        for x in range(4)
+        for y in range(4)
+    ]
+    want2 = np.logaddexp.reduce(np.stack(allc), axis=0)
+    got2 = fm5[:, frame.frag_index(np.array([4, 4]), base=5)]
+    np.testing.assert_allclose(got2, want2, rtol=1e-6)
+    # term-loop implementation agrees with the GEMM form in base 5
+    fm5_terms = frame.fragment_table_terms(
+        prof.match_marg, prof.match_q, prof.cfg.epsilon, base=5
+    )
+    np.testing.assert_allclose(fm5, fm5_terms, rtol=1e-9, atol=1e-12)
 
 
 def test_prod_writer_format(db, tmp_path):
