@@ -181,17 +181,113 @@ def check_parity(block, eidx, slen, out) -> float:
     return err
 
 
+# ---------------------------------------------------------------------------
+# Pfam-shaped ragged bench (BASELINE.json configs 3-4): realistic core-size
+# distribution through the FULL ScanEngine, reporting GCUPS + reads/sec +
+# padding efficiency.  See docs/PERFORMANCE.md for the roofline context.
+# ---------------------------------------------------------------------------
+
+PFAM_NPROF = int(os.environ.get("BENCH_PFAM_NPROF", 384))
+PFAM_NSEQS = int(os.environ.get("BENCH_PFAM_NSEQS", 64))
+
+
+def ragged_core_sizes(rng) -> np.ndarray:
+    """Pfam-like core-size draw: lognormal (median ~150, sigma 0.8 — the
+    bulk of Pfam-A lands in 30-600) clipped to the reference envelope,
+    plus forced 1024/2048/4096 outliers so the HBM-streaming regime is in
+    the measurement (PROTEIN_MODEL_CORE_SIZE_MAX, core/limits.h:11)."""
+    tail = [1024, 2048, 4096] if PFAM_NPROF >= 64 else []
+    sizes = np.exp(rng.normal(np.log(150.0), 0.8, PFAM_NPROF - len(tail)))
+    sizes = np.clip(sizes, 16, 4096).astype(np.int64)
+    return np.concatenate([sizes, tail]).astype(np.int64)
+
+
+def pfam_bench():
+    """(gcups, reads_per_sec, padding_efficiency, detail) on the ragged DB."""
+    import tempfile
+
+    from deciphon_tpu.db.format import TensorDB, write_db
+    from deciphon_tpu.models.h3reader import build_profile
+    from deciphon_tpu.models.h3writer import random_h3
+    from deciphon_tpu.ops.scan_engine import (
+        ScanEngine, ScanParams, SeqRecord, pad_seq_len,
+    )
+
+    rng = np.random.default_rng(42)
+    sizes = ragged_core_sizes(rng)
+    t0 = time.perf_counter()
+    profiles = (
+        build_profile(random_h3(int(s) + 1, int(k), peak=0.8))
+        for s, k in enumerate(sizes)
+    )
+    with tempfile.NamedTemporaryFile(suffix=".dtp") as fp:
+        write_db(fp.name, profiles)
+        db = TensorDB.load(fp.name)
+    press_s = time.perf_counter() - t0
+    # short metagenomic-style reads, one 255-chunk length bucket
+    lens = rng.integers(150, 500, PFAM_NSEQS)
+    seqs = [
+        SeqRecord(i, f"r{i}", "".join(rng.choice(list("ACGT"), int(L))))
+        for i, L in enumerate(lens)
+    ]
+    engine = ScanEngine(db, ScanParams(lrt_threshold=10.0))
+    t0 = time.perf_counter()
+    engine.scan(seqs)  # warmup: compiles + block pack/upload
+    setup_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    engine.scan(seqs)
+    dt = time.perf_counter() - t0
+
+    len_sum = int(lens.sum())
+    true_cells = 3.0 * len_sum * float(db.core_sizes.sum())
+    # padded work actually dispatched: per block, GROUP-padded profiles x
+    # kpad lanes; per batch, nseq-stack padding x positions computed
+    # (the kernel stops at the batch's longest read)
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    npos = int((int(lens.max()) + 4) // 5 * 5)
+    padded = 0.0
+    for entry in engine._blocks:
+        chunk, kpad = entry[0], entry[2]
+        bp = (len(chunk) + vp.GROUP - 1) // vp.GROUP * vp.GROUP
+        nseq = vp.pick_nseq(PFAM_NSEQS, vp.nseq_cap(kpad))
+        sg = (PFAM_NSEQS + nseq - 1) // nseq
+        padded += 3.0 * bp * kpad * sg * nseq * npos
+    detail = {
+        "nprofiles": len(sizes),
+        "core_min": int(sizes.min()),
+        "core_median": int(np.median(sizes)),
+        "core_max": int(sizes.max()),
+        "nseqs": PFAM_NSEQS,
+        "len_bucket": int(pad_seq_len(int(lens.max()))),
+        "seconds": dt,
+        "press_seconds": press_s,
+        "warmup_seconds": setup_s,
+    }
+    return true_cells / dt, PFAM_NSEQS / dt, true_cells / padded, detail
+
+
 def main() -> None:
     import jax
+
+    from deciphon_tpu.utils import jaxcache
+
+    jaxcache.enable()  # persistent XLA cache across bench runs
 
     block, eidx, slen = build_problem()
     dt, out = run_engine(block, eidx, slen)
     err = check_parity(block, eidx, slen, out)
-    cups = cells() / dt
+    uniform_cups = cells() / dt
     backend = jax.default_backend()
+
+    if os.environ.get("BENCH_SKIP_PFAM"):
+        cups, reads_per_sec, pad_eff, pfam_detail = uniform_cups, None, None, {}
+    else:
+        cups, reads_per_sec, pad_eff, pfam_detail = pfam_bench()
+
     try:
         if backend == "cpu":
-            base = cups
+            base = uniform_cups
         else:
             base = measure_cpu_baseline()
         vs = cups / base
@@ -200,17 +296,23 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "viterbi_cell_updates_per_sec",
+                "metric": "pfam_scan_cell_updates_per_sec",
                 "value": cups,
                 "unit": "CUPS",
                 "vs_baseline": vs,
                 "detail": {
                     "backend": backend,
-                    "nprofiles": NPROFILES,
-                    "core_size": CORE_SIZE,
-                    "nseqs": NSEQS,
-                    "seq_len": SEQ_LEN,
-                    "seconds": dt,
+                    "reads_per_sec": reads_per_sec,
+                    "padding_efficiency": pad_eff,
+                    "pfam": pfam_detail,
+                    "uniform_cups": uniform_cups,
+                    "uniform_shape": {
+                        "nprofiles": NPROFILES,
+                        "core_size": CORE_SIZE,
+                        "nseqs": NSEQS,
+                        "seq_len": SEQ_LEN,
+                        "seconds": dt,
+                    },
                     "parity_err_vs_xla": err,
                 },
             }

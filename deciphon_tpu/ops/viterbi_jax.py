@@ -59,12 +59,13 @@ class ProfileBlock(NamedTuple):
         return self.fm.shape[1]
 
 
-def _clamp(a: np.ndarray) -> np.ndarray:
-    return np.maximum(np.asarray(a, dtype=np.float64), NEG).astype(np.float32)
+def _clamp(a: np.ndarray, dtype=np.float32) -> np.ndarray:
+    return np.maximum(np.asarray(a, dtype=np.float64), NEG).astype(dtype)
 
 
 def build_profile_block(
-    profiles: list[ProteinProfile], kpad: int | None = None, base: int = 4
+    profiles: list[ProteinProfile], kpad: int | None = None, base: int = 4,
+    dtype=np.float32,
 ) -> ProfileBlock:
     """Stack + pad host-side profiles into a block of HOST (numpy) arrays.
 
@@ -85,13 +86,13 @@ def build_profile_block(
     def padk(a, fill):
         out = np.full(K, fill, dtype=np.float64)
         out[: len(a)] = a
-        return _clamp(out)
+        return _clamp(out, dtype)
 
-    fm = np.full((B, K, ntab), NEG, dtype=np.float32)
-    fi = np.empty((B, ntab), dtype=np.float32)
-    fn = np.empty((B, ntab), dtype=np.float32)
+    fm = np.full((B, K, ntab), NEG, dtype=dtype)
+    fi = np.empty((B, ntab), dtype=dtype)
+    fn = np.empty((B, ntab), dtype=dtype)
     arrs = {
-        name: np.empty((B, K), dtype=np.float32)
+        name: np.empty((B, K), dtype=dtype)
         for name in (
             "entry", "mm_in", "im_in", "dm_in", "md_in", "dd_in", "mi", "ii"
         )
@@ -99,9 +100,9 @@ def build_profile_block(
     core = np.empty(B, dtype=np.int32)
     for b, p in enumerate(profiles):
         fmat, fins, fnull = p.fragment_tables(base=base)
-        fm[b, : p.core_size] = _clamp(fmat)
-        fi[b] = _clamp(fins)
-        fn[b] = _clamp(fnull)
+        fm[b, : p.core_size] = _clamp(fmat, dtype)
+        fi[b] = _clamp(fins, dtype)
+        fn[b] = _clamp(fnull, dtype)
         for name in arrs:
             arrs[name][b] = padk(getattr(p, name), -np.inf)
         core[b] = p.core_size
@@ -130,7 +131,7 @@ def _specials(seq_len, multi_hits: bool, hmmer3_compat: bool):
 
     Mirrors protein_profile_setup (src/model/protein_profile.c:155-216).
     """
-    L = seq_len.astype(jnp.float32)
+    L = seq_len.astype(jnp.float64 if jax.config.x64_enabled else jnp.float32)
     if multi_hits:
         q = 0.5
         log_q = float(np.log(0.5))
@@ -150,11 +151,29 @@ def _specials(seq_len, multi_hits: bool, hmmer3_compat: bool):
     )
 
 
-def _viterbi_single(block_row, eidx, seq_len, multi_hits, hmmer3_compat):
+# Semiring ops: (pairwise, axis-reduce, prefix-scan).  "max" = Viterbi
+# (best path); "logsumexp" = forward algorithm (total path mass) — the
+# identical recurrence with max-plus swapped for log-plus, including the
+# D-chain prefix trick (cummax -> cumlogsumexp).
+def _semiring(name: str):
+    if name == "max":
+        return jnp.maximum, jnp.max, jax.lax.cummax
+    assert name == "logsumexp"
+
+    def reduce_lse(x, axis=None):
+        return jax.scipy.special.logsumexp(x, axis=axis)
+
+    return jnp.logaddexp, reduce_lse, jax.lax.cumlogsumexp
+
+
+def _viterbi_single(
+    block_row, eidx, seq_len, multi_hits, hmmer3_compat, semiring="max"
+):
     """Score one profile against one sequence. Returns (alt, null) logliks."""
     (fm, fi, fn, entry, mm_in, im_in, dm_in, md_in, dd_in, mi, ii, core) = (
         block_row
     )
+    join, reduce_, cumred = _semiring(semiring)
     K = fm.shape[0]
     xt = _specials(seq_len, multi_hits, hmmer3_compat)
 
@@ -165,8 +184,9 @@ def _viterbi_single(block_row, eidx, seq_len, multi_hits, hmmer3_compat):
     md_next = jnp.concatenate([md_in[1:], jnp.full((1,), NEG)])  # [K]
     cdd_next = jnp.concatenate([cdd[1:], cdd[-1:]])  # cdd[j+1]
 
-    neg_k = jnp.full((5, K), NEG, dtype=jnp.float32)
-    neg_5 = jnp.full((5,), NEG, dtype=jnp.float32)
+    dt = fm.dtype
+    neg_k = jnp.full((5, K), NEG, dtype=dt)
+    neg_5 = jnp.full((5,), NEG, dtype=dt)
 
     carry0 = dict(
         VM=neg_k, VI=neg_k, VD=neg_k,
@@ -187,53 +207,53 @@ def _viterbi_single(block_row, eidx, seq_len, multi_hits, hmmer3_compat):
         em_n = fn[eidx_i]  # [5]
 
         # match states
-        cand = jnp.maximum(
+        cand = join(
             carry["VB"][:, None] + entry[None, :],
-            jnp.maximum(
+            join(
                 shift_k(carry["VM"]) + mm_in,
-                jnp.maximum(
+                join(
                     shift_k(carry["VI"]) + im_in,
                     shift_k(carry["VD"]) + dm_in,
                 ),
             ),
         )
-        VM = jnp.max(cand + em_m, axis=0)  # [K]
+        VM = reduce_(cand + em_m, axis=0)  # [K]
         # insert states
-        VI = jnp.max(
-            jnp.maximum(carry["VM"] + mi, carry["VI"] + ii)
+        VI = reduce_(
+            join(carry["VM"] + mi, carry["VI"] + ii)
             + em_i[:, None],
             axis=0,
         )
         # N / J / C loops (emit from the null dist, reference
         # protein_model.c:250-254)
-        VN = jnp.max(
-            jnp.maximum(carry["VS"], carry["VN"]) + xt["NN"] + em_n
+        VN = reduce_(
+            join(carry["VS"], carry["VN"]) + xt["NN"] + em_n, axis=None
         )
-        VJ = jnp.max(
-            jnp.maximum(carry["VE"] + xt["EJ"], carry["VJ"])
-            + xt["JJ"] + em_n
+        VJ = reduce_(
+            join(carry["VE"] + xt["EJ"], carry["VJ"])
+            + xt["JJ"] + em_n, axis=None
         )
-        VC = jnp.max(
-            jnp.maximum(carry["VE"] + xt["EC"], carry["VC"])
-            + xt["CC"] + em_n
+        VC = reduce_(
+            join(carry["VE"] + xt["EC"], carry["VC"])
+            + xt["CC"] + em_n, axis=None
         )
         # null-model R loop: first emission free of RR (VS marks position 0)
-        VR = jnp.max(
-            jnp.maximum(carry["VR"] + xt["RR"], carry["VS"]) + em_n
+        VR = reduce_(
+            join(carry["VR"] + xt["RR"], carry["VS"]) + em_n, axis=None
         )
 
-        # D-chain: same-position mute cascade as prefix cummax
+        # D-chain: same-position mute cascade as a prefix scan
         a = VM + md_next - cdd_next
-        b = jax.lax.cummax(a)
+        b = cumred(a)
         VD = cdd + jnp.concatenate([jnp.full((1,), NEG), b[:-1]])
-        VD = jnp.maximum(VD, NEG)
+        VD = jnp.maximum(VD, NEG)  # numeric clamp, not a semiring op
 
-        VE = jnp.maximum(jnp.max(VM), jnp.max(VD))
-        VB = jnp.maximum(
+        VE = join(reduce_(VM, axis=None), reduce_(VD, axis=None))
+        VB = join(
             VN + xt["NB"],
-            jnp.maximum(VE + xt["EJ"] + xt["JB"], VJ + xt["JB"]),
+            join(VE + xt["EJ"] + xt["JB"], VJ + xt["JB"]),
         )
-        VT = jnp.maximum(VE + xt["EC"] + xt["CT"], VC + xt["CT"])
+        VT = join(VE + xt["EC"] + xt["CT"], VC + xt["CT"])
 
         def push(ring, new):
             return jnp.concatenate([new[None], ring[:-1]], axis=0)
@@ -254,7 +274,7 @@ def _viterbi_single(block_row, eidx, seq_len, multi_hits, hmmer3_compat):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("multi_hits", "hmmer3_compat")
+    jax.jit, static_argnames=("multi_hits", "hmmer3_compat", "semiring")
 )
 def viterbi_scores(
     block: ProfileBlock,
@@ -262,14 +282,19 @@ def viterbi_scores(
     seq_len: jax.Array,  # [S] int32
     multi_hits: bool = True,
     hmmer3_compat: bool = False,
+    semiring: str = "max",
 ):
     """Score every (sequence, profile) pair.
 
     Returns (alt_loglik [S, B], null_loglik [S, B]) float32.
+    ``semiring="logsumexp"`` runs the forward algorithm instead of
+    Viterbi (same recurrence, total path mass instead of best path).
     """
 
     def one_pair(row, e, n):
-        return _viterbi_single(row, e, n, multi_hits, hmmer3_compat)
+        return _viterbi_single(
+            row, e, n, multi_hits, hmmer3_compat, semiring
+        )
 
     row = tuple(block)
     over_profiles = jax.vmap(
@@ -278,6 +303,23 @@ def viterbi_scores(
     over_seqs = jax.vmap(over_profiles, in_axes=(None, 0, 0))
     alt, null = over_seqs(row, eidx, seq_len)
     return alt, null
+
+
+def forward_scores(
+    block: ProfileBlock,
+    eidx: jax.Array,
+    seq_len: jax.Array,
+    multi_hits: bool = True,
+    hmmer3_compat: bool = False,
+):
+    """Forward-algorithm (alt, null) log-likelihoods [S, B]: logsumexp
+    over all state paths.  BASELINE.json north-star counterpart of
+    ``viterbi_scores`` (the reference, like imm, only runs Viterbi)."""
+    return viterbi_scores(
+        block, eidx, seq_len,
+        multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+        semiring="logsumexp",
+    )
 
 
 def lrt(null_loglik, alt_loglik):

@@ -110,13 +110,29 @@ def _shift_lanes(x, sh: int, negmask=None):
     return jnp.where(_lane_iota(x.shape) < sh, NEG, rolled)
 
 
-def _cummax_lanes(x, k: int, negmasks=None):
+def _cummax_lanes(x, k: int, negmasks=None, join=jnp.maximum):
+    # Hillis-Steele doubling scan: exact for any associative join
+    # (max for Viterbi, logaddexp for forward) — adjacent windows are
+    # disjoint at every step.
     sh = 1
     while sh < k:
         m = negmasks[sh] if negmasks is not None else None
-        x = jnp.maximum(x, _shift_lanes(x, sh, m))
+        x = join(x, _shift_lanes(x, sh, m))
         sh *= 2
     return x
+
+
+def _kernel_semiring(name: str):
+    """(pairwise join, lane reduce) — max = Viterbi, logsumexp = forward."""
+    if name == "max":
+        return jnp.maximum, lambda x: jnp.max(x, axis=-1)
+    assert name == "logsumexp"
+
+    def reduce_lse(x):
+        m = jnp.max(x, axis=-1, keepdims=True)
+        return m[..., 0] + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1))
+
+    return jnp.logaddexp, reduce_lse
 
 
 def _kernel(
@@ -146,7 +162,9 @@ def _kernel(
     multi_hits: bool,
     hmmer3_compat: bool,
     n_stream: int = 0,
+    semiring: str = "max",
 ):
+    join, reduce_k = _kernel_semiring(semiring)
     if n_stream:
         stream_buf, stream_sem = args
     p_id = pl.program_id(0)
@@ -325,53 +343,55 @@ def _kernel(
             sp = ring_s[slot]  # [8, NSEQ, GROUP]
 
             def acc(prev, cand):
-                # first lookback step assigns; later steps max-accumulate
-                return cand if prev is None else jnp.maximum(prev, cand)
+                # first lookback step assigns; later steps join-accumulate
+                return cand if prev is None else join(prev, cand)
 
-            # ring_cs already holds max(core in-flow, B + entry)
+            # ring_cs already holds join(core in-flow, B + entry)
             accM = acc(accM, ring_cs[slot] + em_m)
             accI = acc(accI, ring_ic[slot] + em_i[:, :, None])
             start0 = jnp.where(from_start, 0.0, NEG)
             accN = acc(
-                accN, jnp.maximum(sp[S_N], start0) + t_NN + em_n
+                accN, join(sp[S_N], start0) + t_NN + em_n
             )
             accJ = acc(
                 accJ,
-                jnp.maximum(sp[S_E] + t_EJ, sp[S_J]) + t_JJ + em_n,
+                join(sp[S_E] + t_EJ, sp[S_J]) + t_JJ + em_n,
             )
             accC = acc(
                 accC,
-                jnp.maximum(sp[S_E] + t_EC, sp[S_C]) + t_CC + em_n,
+                join(sp[S_E] + t_EC, sp[S_C]) + t_CC + em_n,
             )
             accR = acc(
-                accR, jnp.maximum(sp[S_R] + t_RR, start0) + em_n
+                accR, join(sp[S_R] + t_RR, start0) + em_n
             )
 
-        # mute D-chain: VD = cdd + cummax(VM + a_base) shifted by one lane
+        # mute D-chain: VD = cdd + cumjoin(VM + a_base) shifted one lane
         a = accM + a_base
-        b = _cummax_lanes(a, K, negmasks)
-        VD = jnp.maximum(cdd + _shift_lanes(b, 1, negmasks[1]), NEG)
-
-        VE = jnp.max(jnp.maximum(accM, VD), axis=-1)  # [NSEQ, GROUP]
-        VB = jnp.maximum(
-            accN + t_NB,
-            jnp.maximum(VE + t_EJ + t_JB, accJ + t_JB),
+        b = _cummax_lanes(a, K, negmasks, join)
+        VD = jnp.maximum(  # numeric clamp, not a semiring op
+            cdd + _shift_lanes(b, 1, negmasks[1]), NEG
         )
-        VT = jnp.maximum(VE + t_EC + t_CT, accC + t_CT)
+
+        VE = reduce_k(join(accM, VD))  # [NSEQ, GROUP]
+        VB = join(
+            accN + t_NB,
+            join(VE + t_EJ + t_JB, accJ + t_JB),
+        )
+        VT = join(VE + t_EC + t_CT, accC + t_CT)
 
         hit_end = i == seq_len_vec  # [NSEQ, 1]
         out_acc[0] = jnp.where(hit_end, VT, out_acc[0])
         out_acc[1] = jnp.where(hit_end, accR, out_acc[1])
 
-        core = jnp.maximum(
+        core = join(
             accM + mm_out,
-            jnp.maximum(accI + im_out, VD + dm_out),
+            join(accI + im_out, VD + dm_out),
         )
-        ring_cs[j] = jnp.maximum(
+        ring_cs[j] = join(
             _shift_lanes(core, 1, negmasks[1]),
             VB[:, :, None] + entry,
         )
-        ring_ic[j] = jnp.maximum(accM + mi, accI + ii)
+        ring_ic[j] = join(accM + mi, accI + ii)
         # ordering matches the S_B..S_R row ids
         ring_s[j] = jnp.stack(
             [VB, accN, accJ, accC, VE, accR, negg, negg], axis=0
@@ -516,20 +536,20 @@ def pack_block(block: ProfileBlock):
     jax.jit,
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
-        "n_stream",
+        "n_stream", "semiring",
     ),
 )
 def _run(
     femis_m, femis_in, trans, seqinfo, seqlens,
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
-    n_stream: int = 0,
+    n_stream: int = 0, semiring: str = "max",
 ):
     SG, nch = seqinfo.shape[0], seqinfo.shape[1]
     kernel = functools.partial(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
-        n_stream=n_stream,
+        n_stream=n_stream, semiring=semiring,
     )
     grid = (P, SG)
     nres = NTAB if n_stream == 0 else NRES_B
@@ -671,8 +691,11 @@ class PallasBlock:
         multi_hits: bool = True,
         hmmer3_compat: bool = False,
         interpret: bool = False,
+        semiring: str = "max",
     ):
-        """(alt [S, B], null [S, B]) device arrays for a packed seq batch."""
+        """(alt [S, B], null [S, B]) device arrays for a packed seq batch.
+        semiring="logsumexp" runs the forward algorithm in the same
+        kernel (max -> logaddexp / LSE swap)."""
         # layout fixed by make_seqinfo: [SG, nch, SEQROWS, nseq*WC/SEQROWS]
         nseq = seqinfo.shape[2] * seqinfo.shape[3] // WC
         alt, null = _run(
@@ -681,6 +704,7 @@ class PallasBlock:
             K=self.kpad, P=self.ngroups, nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
+            semiring=semiring,
         )
         # [P, SG, nseq, GROUP] -> [S, B]
         P, SG = alt.shape[0], alt.shape[1]
@@ -702,6 +726,7 @@ def viterbi_scores_pallas(
     multi_hits: bool = True,
     hmmer3_compat: bool = False,
     interpret: bool = False,
+    semiring: str = "max",
 ):
     """Drop-in (stateless) replacement for viterbi_jax.viterbi_scores.
 
@@ -715,6 +740,6 @@ def viterbi_scores_pallas(
     alt, null = pb.scores(
         jnp.asarray(seqinfo), jnp.asarray(seqlens), S,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
-        interpret=interpret,
+        interpret=interpret, semiring=semiring,
     )
     return np.asarray(alt), np.asarray(null)

@@ -331,3 +331,144 @@ def brute_force_alt(prof: ProteinProfile, seq_idx: np.ndarray,
 
     dfs(st.S, 0, 0.0, [(st.S, 0)], 0)
     return ViterbiResult(best[0], best[1] or [])
+
+
+# ---------------------------------------------------------------------------
+# Forward algorithm (f64 oracle): logsumexp over ALL state paths — the
+# sum-semiring twin of the Viterbi recurrences above.  The reference (like
+# imm) only runs Viterbi; forward is a north-star extension (BASELINE.md).
+# ---------------------------------------------------------------------------
+
+
+def _lse(*vals: float) -> float:
+    arr = np.array(vals, dtype=np.float64)
+    m = arr.max()
+    if not np.isfinite(m):
+        return NEG
+    return float(m + np.log(np.exp(arr - m).sum()))
+
+
+def forward_null(prof: ProteinProfile, seq_idx: np.ndarray,
+                 multi_hits: bool = True, hmmer3_compat: bool = False,
+                 base: int = 4) -> float:
+    L = len(seq_idx)
+    xt = special_transitions(L, multi_hits, hmmer3_compat)
+    fidx = fragment_indices(seq_idx, base=base)
+    _, _, fnull = prof.fragment_tables(base=base)
+    V = np.full(L + 1, NEG)
+    for i in range(1, L + 1):
+        acc = []
+        for l in range(1, min(5, i) + 1):
+            prev = i - l
+            b = 0.0 if prev == 0 else V[prev] + xt.RR
+            acc.append(b + fnull[fidx[prev, l - 1]])
+        V[i] = _lse(*acc)
+    return float(V[L])
+
+
+def forward_alt(prof: ProteinProfile, seq_idx: np.ndarray,
+                multi_hits: bool = True, hmmer3_compat: bool = False,
+                base: int = 4) -> float:
+    K = prof.core_size
+    L = len(seq_idx)
+    xt = special_transitions(L, multi_hits, hmmer3_compat)
+    fidx = fragment_indices(seq_idx, base=base)
+    fm, fi, fn = prof.fragment_tables(base=base)
+
+    def lsev(a, axis=0):
+        m = np.max(a, axis=axis, keepdims=True)
+        m = np.where(np.isfinite(m), m, 0.0)
+        return np.squeeze(m, axis) + np.log(
+            np.exp(a - m).sum(axis=axis)
+        )
+
+    VM = np.full((L + 1, K), NEG)
+    VI = np.full((L + 1, K), NEG)
+    VD = np.full((L + 1, K), NEG)
+    VS = np.full(L + 1, NEG)
+    VN = np.full(L + 1, NEG)
+    VB = np.full(L + 1, NEG)
+    VE = np.full(L + 1, NEG)
+    VJ = np.full(L + 1, NEG)
+    VC = np.full(L + 1, NEG)
+    VT = np.full(L + 1, NEG)
+    VS[0] = 0.0
+    VB[0] = xt.NB
+
+    shifted = lambda a: np.concatenate(([NEG], a[:-1]))  # noqa: E731
+    for i in range(1, L + 1):
+        accM = np.full((0, K), NEG)
+        accI = np.full((0, K), NEG)
+        accN, accJ, accC = [], [], []
+        for l in range(1, min(5, i) + 1):
+            prev = i - l
+            em = fm[np.arange(K), fidx[prev, l - 1]]
+            inflow = lsev(np.stack([
+                VB[prev] + prof.entry,
+                shifted(VM[prev]) + prof.mm_in,
+                shifted(VI[prev]) + prof.im_in,
+                shifted(VD[prev]) + prof.dm_in,
+            ]))
+            accM = np.vstack([accM, (inflow + em)[None]])
+            emI = fi[fidx[prev, l - 1]]
+            inflowI = lsev(np.stack([
+                VM[prev] + prof.mi, VI[prev] + prof.ii,
+            ]))
+            accI = np.vstack([accI, (inflowI + emI)[None]])
+            emN = fn[fidx[prev, l - 1]]
+            accN.append(_lse(VS[prev], VN[prev]) + xt.NN + emN)
+            accJ.append(
+                _lse(VE[prev] + xt.EJ, VJ[prev]) + xt.JJ + emN
+            )
+            accC.append(
+                _lse(VE[prev] + xt.EC, VC[prev]) + xt.CC + emN
+            )
+        VM[i] = lsev(accM)
+        VI[i] = lsev(accI)
+        VN[i] = _lse(*accN)
+        VJ[i] = _lse(*accJ)
+        VC[i] = _lse(*accC)
+        for k in range(1, K):
+            VD[i, k] = _lse(
+                VM[i, k - 1] + prof.md_in[k],
+                VD[i, k - 1] + prof.dd_in[k],
+            )
+        VE[i] = _lse(lsev(VM[i]), lsev(VD[i, 1:]) if K > 1 else NEG)
+        VB[i] = _lse(
+            VN[i] + xt.NB, VE[i] + xt.EJ + xt.JB, VJ[i] + xt.JB
+        )
+        VT[i] = _lse(VE[i] + xt.EC + xt.CT, VC[i] + xt.CT)
+    return float(VT[L])
+
+
+def brute_force_forward(prof: ProteinProfile, seq_idx: np.ndarray,
+                        multi_hits: bool = True,
+                        hmmer3_compat: bool = False) -> float:
+    """Exhaustive logsumexp over every S -> T path (tiny cases only)."""
+    L = len(seq_idx)
+    xt = special_transitions(L, multi_hits, hmmer3_compat)
+    fidx = fragment_indices(seq_idx)
+    states, trans = _build_graph(prof, xt)
+    total = [0.0, False]  # (prob mass, any)
+
+    def dfs(sid, pos, score, depth):
+        if depth > 2 * L + 2 * prof.core_size + 8:
+            return
+        if sid == st.T:
+            if pos == L:
+                total[0] += np.exp(score)
+                total[1] = True
+            return
+        for nxt, tlp in trans[sid]:
+            table = states[nxt]
+            if table is None:
+                dfs(nxt, pos, score + tlp, depth + 1)
+            else:
+                for l in range(1, min(5, L - pos) + 1):
+                    em = table[fidx[pos, l - 1]]
+                    if not np.isfinite(em):
+                        continue
+                    dfs(nxt, pos + l, score + tlp + em, depth + 1)
+
+    dfs(st.S, 0, 0.0, 0)
+    return float(np.log(total[0])) if total[1] else NEG

@@ -166,21 +166,28 @@ class SchedAPI:
         )
         return SchedSeq.from_json(self._envelope(resp, end_rc=_END_RC))
 
-    def scan_seqs(self, scan_id: int) -> list[SchedSeq]:
-        """Drain the sequence cursor (the reference counts them the same
-        way, api.c:470-485)."""
-        out = []
+    def iter_scan_seqs(self, scan_id: int):
+        """Stream sequences one at a time off the scheduler cursor (the
+        reference's per-seq fetch loop, scan.c:227 + api.c:421-432)."""
         cursor = 0
         while True:
             try:
                 seq = self.scan_next_seq(scan_id, cursor)
             except EndOfData:
-                return out
-            out.append(seq)
+                return
+            yield seq
             cursor = seq.id
 
+    def scan_seqs(self, scan_id: int) -> list[SchedSeq]:
+        """Drain the sequence cursor (the reference counts them the same
+        way, api.c:470-485)."""
+        return list(self.iter_scan_seqs(scan_id))
+
     def scan_num_seqs(self, scan_id: int) -> int:
-        return len(self.scan_seqs(scan_id))
+        n = 0
+        for _ in self.iter_scan_seqs(scan_id):
+            n += 1
+        return n
 
     # -- products ----------------------------------------------------------
 

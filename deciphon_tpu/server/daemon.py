@@ -187,23 +187,38 @@ class Server:
         )
         engine = self._engine(path, db_meta.xxh3, params)
         db = engine.db
-        seqs = self.api.scan_seqs(scan.id)
-        total = len(seqs) * db.nprofiles
+        # count first (the reference's O(nseqs) count loop, scan.c:170 ->
+        # api.c:470-485), then STREAM the reads in bounded batches so a
+        # multi-GB read set never lives in host memory at once
+        # (scan.c:227-258 streams one read at a time; batches keep the
+        # device fed).
+        nseqs = self.api.scan_num_seqs(scan.id)
+        total = nseqs * db.nprofiles
         log.info("%d tasks to run", total)
         progress = Progress(
             total,
             callback=lambda inc: self.api.increment_job_progress(job.id, inc),
         )
         engine.progress = progress
-        hits = engine.scan(
-            [SeqRecord(s.id, s.name, s.data) for s in seqs]
-        )
-        progress.finish()
+        batch_size = int(os.environ.get("DCP_SCAN_BATCH", 1024))
         writer = ProdWriter(scan_id=scan.id)
-        for h in hits:
-            writer.add(
-                h.seq_id, h.accession, h.alt_loglik, h.null_loglik, h.match
-            )
+        batch: list[SeqRecord] = []
+
+        def flush(batch):
+            for h in engine.scan(batch):
+                writer.add(
+                    h.seq_id, h.accession, h.alt_loglik, h.null_loglik,
+                    h.match,
+                )
+
+        for s in self.api.iter_scan_seqs(scan.id):
+            batch.append(SeqRecord(s.id, s.name, s.data))
+            if len(batch) >= batch_size:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
+        progress.finish()
         with tempfile.NamedTemporaryFile(
             "w", suffix=".tsv", delete=False
         ) as fp:

@@ -138,3 +138,43 @@ def test_scan_job_failure_reported(sched, worker):
     job = fake.jobs[scan.job_id]
     assert job.state == "fail"
     assert job.error != ""
+
+
+def test_scan_streams_in_bounded_batches(sched, worker, monkeypatch):
+    """The daemon must feed the engine in DCP_SCAN_BATCH-bounded chunks
+    (scan.c:227-258 streaming design): with batch=4 and 11 reads the
+    engine sees 3 calls, hits from every batch reach one products file,
+    and progress still hits 100."""
+    fake, url = sched
+    fake.add_hmm("synth.hmm", _hmm_bytes())
+    assert worker.run_one()  # press
+    db_meta = next(iter(fake.dbs.values()))
+    db = TensorDB.load(fake.files[db_meta.filename])
+    from tests.test_scan_engine import consensus_dna
+
+    read = consensus_dna(db.profile(1))
+    seqs = [("noise%d" % i, "ACGTACGTACGTACGTACGT") for i in range(9)]
+    seqs.insert(0, ("planted0", read))
+    seqs.append(("planted1", read))  # first and last batch both hit
+    scan = fake.add_scan(db_meta.id, seqs)
+
+    monkeypatch.setenv("DCP_SCAN_BATCH", "4")
+    calls = []
+    from deciphon_tpu.ops.scan_engine import ScanEngine
+
+    orig = ScanEngine.scan
+
+    def spy(self, batch):
+        calls.append(len(batch))
+        return orig(self, batch)
+
+    monkeypatch.setattr(ScanEngine, "scan", spy)
+    assert worker.run_one()
+    job = fake.jobs[scan.job_id]
+    assert job.state == "done", job.error
+    assert job.progress == 100
+    assert calls == [4, 4, 3]
+    tsv = fake.products[-1]
+    rows = [ln.split("\t") for ln in tsv.splitlines()[1:]]
+    hit_seq_ids = {int(r[1]) for r in rows}
+    assert len(hit_seq_ids) >= 2  # hits surfaced from first AND last batch
