@@ -188,7 +188,11 @@ def check_parity(block, eidx, slen, out) -> float:
 # ---------------------------------------------------------------------------
 
 PFAM_NPROF = int(os.environ.get("BENCH_PFAM_NPROF", 384))
-PFAM_NSEQS = int(os.environ.get("BENCH_PFAM_NSEQS", 64))
+# 256 reads per scan batch: a production daemon streams DCP_SCAN_BATCH
+# (default 1024) reads per engine.scan, so per-scan fixed costs (seqinfo
+# packing, dispatch latency over the tunnel, result pulls) amortize —
+# 64-read batches were measuring mostly overhead.
+PFAM_NSEQS = int(os.environ.get("BENCH_PFAM_NSEQS", 256))
 
 
 def ragged_core_sizes(rng) -> np.ndarray:
@@ -231,28 +235,37 @@ def pfam_bench():
         for i, L in enumerate(lens)
     ]
     engine = ScanEngine(db, ScanParams(lrt_threshold=10.0))
+    # cold start = parallel AOT compile of every kernel variant + first
+    # scan (table pack + upload + any traceback compiles)
     t0 = time.perf_counter()
-    engine.scan(seqs)  # warmup: compiles + block pack/upload
-    setup_s = time.perf_counter() - t0
+    compile_s = engine.warmup(PFAM_NSEQS, int(lens.max()))
+    engine.scan(seqs)
+    cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     engine.scan(seqs)
     dt = time.perf_counter() - t0
 
     len_sum = int(lens.sum())
     true_cells = 3.0 * len_sum * float(db.core_sizes.sum())
-    # padded work actually dispatched: per block, GROUP-padded profiles x
-    # kpad lanes; per batch, nseq-stack padding x positions computed
-    # (the kernel stops at the batch's longest read)
+    # padded work actually dispatched: per block, group-padded profile
+    # rows x kpad lanes; per stack of nseq length-sorted reads, positions
+    # computed = that stack's longest read (kernel stops per stack)
     from deciphon_tpu.ops import viterbi_pallas as vp
 
-    npos = int((int(lens.max()) + 4) // 5 * 5)
+    slens = np.sort(lens)[::-1]
+
+    def stack_positions(nseq: int) -> float:
+        tot = 0.0
+        for i in range(0, PFAM_NSEQS, nseq):
+            m = int(slens[i : i + nseq].max())
+            tot += nseq * ((m + 4) // 5 * 5)
+        return tot
+
     padded = 0.0
-    for entry in engine._blocks:
-        chunk, kpad = entry[0], entry[2]
-        bp = (len(chunk) + vp.GROUP - 1) // vp.GROUP * vp.GROUP
-        nseq = vp.pick_nseq(PFAM_NSEQS, vp.nseq_cap(kpad))
-        sg = (PFAM_NSEQS + nseq - 1) // nseq
-        padded += 3.0 * bp * kpad * sg * nseq * npos
+    for blk in engine._blocks:
+        rows = -(-len(blk.chunk) // blk.group) * blk.group
+        nseq = vp.pick_nseq(PFAM_NSEQS, vp.nseq_cap(blk.kpad, blk.group))
+        padded += 3.0 * rows * blk.kpad * stack_positions(nseq)
     detail = {
         "nprofiles": len(sizes),
         "core_min": int(sizes.min()),
@@ -260,9 +273,11 @@ def pfam_bench():
         "core_max": int(sizes.max()),
         "nseqs": PFAM_NSEQS,
         "len_bucket": int(pad_seq_len(int(lens.max()))),
+        "nblocks": len(engine._blocks),
         "seconds": dt,
         "press_seconds": press_s,
-        "warmup_seconds": setup_s,
+        "compile_seconds": compile_s,
+        "cold_seconds": cold_s,
     }
     return true_cells / dt, PFAM_NSEQS / dt, true_cells / padded, detail
 

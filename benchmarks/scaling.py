@@ -101,6 +101,63 @@ def time_mesh(ndev: int, block, eidx, slen, repeats: int = 3) -> float:
     return min(times)
 
 
+def run_multiprocess(nprocs: int, args) -> int:
+    """--multiprocess N: N real OS processes join one jax.distributed
+    runtime (localhost coordinator), build a global mesh over all their
+    devices, and run the globally-sharded scan step with per-shard
+    parity asserted (parallel/distributed.worker_parity_check)."""
+    import socket
+    import subprocess
+
+    if os.environ.get("DCP_PROC_ID") is None:
+        # parent: spawn the workers
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(nprocs):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env.setdefault(
+                "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
+            )
+            env["DCP_COORDINATOR"] = f"127.0.0.1:{port}"
+            env["DCP_NUM_PROCS"] = str(nprocs)
+            env["DCP_PROC_ID"] = str(pid)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable] + sys.argv, env=env,
+                )
+            )
+        rc = 0
+        for p in procs:
+            rc |= p.wait()
+        return rc
+    # worker
+    from deciphon_tpu.parallel import distributed as dist
+
+    dist.initialize()
+    import jax
+
+    dt, cells = dist.worker_parity_check(
+        nprofiles=args.profiles_per_device * len(jax.devices()),
+        nseqs=args.nseqs, core=args.core, seq_len=args.seq_len,
+    )
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                dict(
+                    processes=jax.process_count(),
+                    devices=len(jax.devices()),
+                    seconds=dt,
+                    cups=cells / dt,
+                    parity="ok",
+                )
+            )
+        )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--profiles-per-device", type=int, default=16)
@@ -110,7 +167,16 @@ def main() -> int:
     ap.add_argument("--tpu", action="store_true", help="use the ambient (TPU) backend instead of a virtual CPU mesh")
     ap.add_argument("--strong", action="store_true",
                     help="fixed total DB instead of per-device")
+    ap.add_argument(
+        "--multiprocess", type=int, default=0, metavar="N",
+        help="run the sharded step across N real processes over a "
+             "localhost jax.distributed runtime (CPU smoke mode for the "
+             "multi-host path)",
+    )
     args = ap.parse_args()
+
+    if args.multiprocess:
+        return run_multiprocess(args.multiprocess, args)
 
     import jax
 

@@ -75,19 +75,128 @@ def cmd_scan(args) -> int:
             lrt_threshold=args.lrt_threshold,
         ),
     )
-    seqs = [
-        SeqRecord(i + 1, name, data)
-        for i, (name, data) in enumerate(read_fasta(args.fasta))
-    ]
-    hits = engine.scan(seqs)
+    # stream the FASTA in bounded batches (same memory envelope as the
+    # daemon's DCP_SCAN_BATCH streaming) so a multi-GB read set never
+    # lives in host memory at once
     writer = ProdWriter(scan_id=0)
-    for h in hits:
-        writer.add(h.seq_id, h.accession, h.alt_loglik, h.null_loglik, h.match)
+    nhits = 0
+    nseqs = 0
+    batch: list[SeqRecord] = []
+
+    def flush(batch):
+        nonlocal nhits
+        for h in engine.scan(batch):
+            writer.add(
+                h.seq_id, h.accession, h.alt_loglik, h.null_loglik, h.match
+            )
+            nhits += 1
+
+    for name, data in read_fasta(args.fasta):
+        nseqs += 1
+        batch.append(SeqRecord(nseqs, name, data))
+        if len(batch) >= args.batch_size:
+            flush(batch)
+            batch = []
+    if batch:
+        flush(batch)
     out = args.output or "prods.tsv"
     writer.write(out)
-    print(f"{len(hits)} hits from {len(seqs)} seqs x "
+    print(f"{nhits} hits from {nseqs} seqs x "
           f"{db.nprofiles} profiles -> {out}")
     return 0
+
+
+# Reference anchors for the PF02545 parity run (BASELINE.md):
+#   alt Viterbi loglik of the 1023-nt consensus read, profile 1
+#   (/root/reference/test/protein_h3reader.c:57) and the .hmm asset's
+#   XXH3-64 content hash (/root/reference/test/sched.c:92).
+PF02545_GOLDEN_ALT = -1430.9281381240353
+PF02545_HMM_XXH3 = -7843725841264658444
+
+
+def cmd_parity(args) -> int:
+    """One-command reference parity runner.
+
+    Verifies this rebuild against the reference's own test anchors:
+    hash-checks the .hmm asset, presses it, rebuilds the consensus
+    read, asserts the golden alt log-likelihood, optionally diffs
+    structural press metadata against a reference-pressed .dcp, and
+    emits the product TSV row for byte-diffing.  The .dcp's imm DP bins
+    themselves stay opaque (undocumented imm packing — see README);
+    every surrounding byte is checked.
+    """
+    import numpy as np
+
+    from deciphon_tpu.models.alphabet import DNA, STANDARD_CODE
+    from deciphon_tpu.models.h3reader import press_file
+    from deciphon_tpu.ops import viterbi_ref as vr
+    from deciphon_tpu.server.prod import ProdWriter
+    from deciphon_tpu.utils import xfile
+
+    failures = 0
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        nonlocal failures
+        print(f"[{'ok' if ok else 'FAIL'}] {name}" + (f": {detail}" if detail else ""))
+        if not ok:
+            failures += 1
+
+    h = xfile.xxh3_64(args.hmm)
+    known_asset = h == PF02545_HMM_XXH3
+    check(
+        "hmm xxh3",
+        known_asset or not args.strict,
+        f"{h}" + ("" if known_asset else " (not the PF02545 test asset; golden checks skipped)"),
+    )
+    profs = list(press_file(args.hmm))
+    check("press", len(profs) >= 1, f"{len(profs)} profiles")
+    prof = profs[0]
+    read = "".join(
+        STANDARD_CODE.codon_str(b // 16, (b // 4) % 4, b % 4)
+        for b in np.argmax(prof.match_codonp, axis=1)
+    )
+    if known_asset:
+        check("core_size", prof.core_size == 341, str(prof.core_size))
+        check("consensus read length", len(read) == 1023, str(len(read)))
+    res = vr.viterbi_alt(prof, DNA.encode(read))
+    nul = vr.viterbi_null(prof, DNA.encode(read))
+    print(f"     alt loglik {res.loglik:.13f}  null {nul.loglik:.13f}")
+    if known_asset:
+        check(
+            "golden alt loglik (protein_h3reader.c:57)",
+            abs(res.loglik - PF02545_GOLDEN_ALT) <= args.tolerance,
+            f"got {res.loglik:.13f}, want {PF02545_GOLDEN_ALT} "
+            f"(|diff| {abs(res.loglik - PF02545_GOLDEN_ALT):.2e} <= {args.tolerance})",
+        )
+    if args.dcp:
+        from deciphon_tpu.db.dcp import read_dcp
+
+        info = read_dcp(args.dcp)
+        check("dcp profile count", info.nprofiles == len(profs),
+              f"{info.nprofiles} vs {len(profs)}")
+        for meta, p in zip(info.profiles, profs):
+            if meta.accession != p.accession or meta.core_size != p.core_size:
+                check(
+                    "dcp profile metadata",
+                    False,
+                    f"{meta.accession}/{meta.core_size} vs "
+                    f"{p.accession}/{p.core_size}",
+                )
+                break
+        else:
+            check("dcp profile metadata", True,
+                  "accessions + core sizes match")
+    # emit the product TSV row (prod.c:13-53 format) for byte-diffing
+    from deciphon_tpu.models import codec
+
+    w = ProdWriter(scan_id=0)
+    match = codec.render_match(codec.match_steps(prof, read, res.path))
+    w.add(1, prof.accession, res.loglik, nul.loglik, match)
+    out = args.output or "parity_prods.tsv"
+    w.write(out)
+    print(f"     product row -> {out}")
+    print("PARITY " + ("OK" if failures == 0 else f"FAILED ({failures})"))
+    return 0 if failures == 0 else 1
 
 
 def cmd_info(args) -> int:
@@ -160,11 +269,31 @@ def main(argv=None) -> int:
     p.add_argument("--lrt-threshold", type=float, default=10.0)
     p.add_argument("--no-multi-hits", action="store_true")
     p.add_argument("--hmmer3-compat", action="store_true")
+    p.add_argument(
+        "--batch-size", type=int, default=1024,
+        help="reads scanned per device batch (memory bound)",
+    )
     p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("info", help="describe a .dtp database")
     p.add_argument("db")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "parity",
+        help="run the reference parity suite on a .hmm asset "
+             "(golden loglik, press metadata vs .dcp, TSV emit)",
+    )
+    p.add_argument("hmm", help="e.g. PF02545.hmm (the reference test asset)")
+    p.add_argument("dcp", nargs="?", default="",
+                   help="optional reference-pressed .dcp to diff against")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--tolerance", type=float, default=1e-3,
+                   help="|diff| bound on the golden loglik (f64 oracle "
+                        "vs imm accumulation order)")
+    p.add_argument("--strict", action="store_true",
+                   help="fail if the .hmm hash is not the known asset")
+    p.set_defaults(fn=cmd_parity)
 
     args = ap.parse_args(argv)
     # error boundary: user-level failures become one log line + exit code,

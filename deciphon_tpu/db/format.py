@@ -51,11 +51,19 @@ def write_db(
     cfg: ProteinCfg | None = None,
 ) -> int:
     """Write profiles to a .dtp file; returns the number written."""
+    from deciphon_tpu.utils.limits import MAX_NPROFILES
+    from deciphon_tpu.utils.rc import einval
+
     metadata = []
     per_node: dict[str, list] = {k: [] for k in _NODE_ARRAYS}
     per_prof: dict[str, list] = {k: [] for k in _PROFILE_ARRAYS}
     core_sizes = []
     for p in profiles:
+        if len(metadata) >= MAX_NPROFILES:
+            raise einval(
+                f"database exceeds MAX_NPROFILES = {MAX_NPROFILES} "
+                "(reference core/limits.h:7)"
+            )
         if cfg is None:
             cfg = p.cfg
         metadata.append(

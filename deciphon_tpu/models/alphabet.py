@@ -78,12 +78,52 @@ for _s in "NXRYSWKMBDHV":
 
 def encode_iupac(seq: str) -> np.ndarray:
     """Encode DNA with IUPAC ambiguity codes: ACGT -> 0..3, U -> 3,
-    N/X and partial codes -> 4.  Raises on non-IUPAC symbols."""
+    N/X and partial codes -> 4.  Raises on non-IUPAC symbols.
+
+    NOTE: collapses partial codes to N (superset approximation); the
+    scan engine uses ``encode_extended`` for exact subset scoring."""
     out = _IUPAC_TABLE[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
     if (out < 0).any():
         bad = seq[int(np.argmax(out < 0))]
         raise ValueError(f"symbol {bad!r} is not an IUPAC nucleotide code")
     return out
+
+
+# per-letter identity of the ambiguity codes (X folds into N)
+_IUPAC_LETTERS = "NRYSWKMBDHV"
+_IUPAC_LETTER_TABLE = np.full(256, -1, dtype=np.int8)
+for _j, _s in enumerate(_IUPAC_LETTERS):
+    _IUPAC_LETTER_TABLE[ord(_s)] = _j
+    _IUPAC_LETTER_TABLE[ord(_s.lower())] = _j
+_IUPAC_LETTER_TABLE[ord("X")] = 0
+_IUPAC_LETTER_TABLE[ord("x")] = 0
+
+
+def encode_extended(seq: str) -> tuple[np.ndarray, tuple[str, ...]]:
+    """Exact IUPAC encoding: ACGT -> 0..3 (U -> 3); each DISTINCT
+    ambiguity code present in the read becomes one extra symbol 4+j
+    (codes sorted, X folded into N).  Returns (encoded, codes).
+
+    The scan scores symbol 4+j as the exact marginal over
+    frame.IUPAC_SUBSETS[codes[j]] — the subset-exact refinement of the
+    reference's imm_dna_iupac alphabet (src/server/hmm.c:72-73)."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    base = _IUPAC_TABLE[raw]
+    if (base < 0).any():
+        bad = seq[int(np.argmax(base < 0))]
+        raise ValueError(f"symbol {bad!r} is not an IUPAC nucleotide code")
+    amb = base == 4
+    if not amb.any():
+        return base, ()
+    letters = _IUPAC_LETTER_TABLE[raw[amb]]
+    present = sorted({_IUPAC_LETTERS[j] for j in np.unique(letters)})
+    codes = tuple(present)
+    out = base.astype(np.int8)
+    remap = np.full(len(_IUPAC_LETTERS), -1, dtype=np.int8)
+    for i, c in enumerate(codes):
+        remap[_IUPAC_LETTERS.index(c)] = 4 + i
+    out[amb] = remap[letters]
+    return out, codes
 
 # NCBI translation table 1 (standard), codon base order TCAG in the canonical
 # listing; '*' marks stop codons.  Equivalent to the reference's imm_gc table

@@ -41,9 +41,11 @@ def _decode_dists(prof: ProteinProfile, state_id: int):
 
 
 def decode_codons(
-    prof: ProteinProfile, seq_idx: np.ndarray, path: list[tuple[int, int]]
+    prof: ProteinProfile, seq_idx: np.ndarray, path: list[tuple[int, int]],
+    codes: tuple[str, ...] = ("N",),
 ) -> list[tuple[int, int, int]]:
-    """Codon stream of a path, skipping mute states (protein_codec_next)."""
+    """Codon stream of a path, skipping mute states (protein_codec_next).
+    ``codes`` names the ambiguity symbols 4+j of ``seq_idx``."""
     out = []
     pos = 0
     for state_id, seqlen in path:
@@ -51,7 +53,7 @@ def decode_codons(
             codonp, q = _decode_dists(prof, state_id)
             frag = seq_idx[pos : pos + seqlen]
             out.append(
-                frame.decode_codon(frag, codonp, q, prof.cfg.epsilon)
+                frame.decode_codon(frag, codonp, q, prof.cfg.epsilon, codes)
             )
         pos += seqlen
     return out
@@ -62,9 +64,9 @@ def match_steps(
 ) -> list[MatchStep]:
     """Per-step match cells 'frag,state,codon,amino' (mute states keep the
     codon/amino fields empty), e.g. 'CG,M1,CGA,K'."""
-    from deciphon_tpu.models.alphabet import encode_iupac
+    from deciphon_tpu.models.alphabet import encode_extended
 
-    seq_idx = encode_iupac(seq)
+    seq_idx, codes = encode_extended(seq)
     out = []
     pos = 0
     for state_id, seqlen in path:
@@ -74,7 +76,8 @@ def match_steps(
         if not st.is_mute(state_id) and seqlen > 0:
             codonp, q = _decode_dists(prof, state_id)
             a, b, c = frame.decode_codon(
-                seq_idx[pos : pos + seqlen], codonp, q, prof.cfg.epsilon
+                seq_idx[pos : pos + seqlen], codonp, q, prof.cfg.epsilon,
+                codes,
             )
             codon_str = STANDARD_CODE.codon_str(a, b, c)
             amino = STANDARD_CODE.decode(a, b, c)

@@ -69,12 +69,25 @@ NFRAGS5 = 3905
 FRAG_SENTINEL5 = NFRAGS5
 
 
+_LAYOUT_CACHE: dict[int, tuple[tuple, int]] = {
+    4: (FRAG_OFFSET, FRAG_SENTINEL),
+    5: (FRAG_OFFSET5, FRAG_SENTINEL5),
+}
+
+
 def frag_layout(base: int = 4):
-    """(offsets, sentinel) for the 4-symbol or 5-symbol fragment layout."""
-    if base == 4:
-        return FRAG_OFFSET, FRAG_SENTINEL
-    assert base == 5
-    return FRAG_OFFSET5, FRAG_SENTINEL5
+    """(offsets, sentinel) for the base-B fragment layout: all fragments
+    of lengths 1..5 over B symbols, base-B little ordering per length
+    block, one -inf sentinel row at the end.  base > 5 arises from
+    reads carrying partially-degenerate IUPAC codes (each distinct code
+    in a read batch becomes one extra symbol)."""
+    if base not in _LAYOUT_CACHE:
+        offsets = [0, 0]
+        for length in range(1, 5):
+            offsets.append(offsets[-1] + base**length)
+        sentinel = offsets[-1] + base**5
+        _LAYOUT_CACHE[base] = (tuple(offsets), sentinel)
+    return _LAYOUT_CACHE[base]
 
 
 def frag_index(frag: np.ndarray, base: int = 4) -> int:
@@ -403,13 +416,153 @@ def fragment_table_terms(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Extended fragment tables: partially-degenerate IUPAC codes
+# ---------------------------------------------------------------------------
+
+# Nucleotide subsets (DNA "ACGT" order) of the IUPAC ambiguity codes.
+# The reference scans with imm_dna_iupac (src/server/hmm.c:72-73); a
+# degenerate observed symbol scores as the EXACT sum of the fragment
+# probability over its nucleotide subset — the multilinearity identity
+# behind the base-5 N tables generalizes to any subset.
+IUPAC_SUBSETS: dict[str, tuple[int, ...]] = {
+    "N": (0, 1, 2, 3), "X": (0, 1, 2, 3),
+    "R": (0, 2), "Y": (1, 3), "S": (1, 2), "W": (0, 3),
+    "K": (2, 3), "M": (0, 1),
+    "B": (1, 2, 3), "D": (0, 2, 3), "H": (0, 1, 3), "V": (0, 1, 2),
+}
+
+
+def _ext_space(codes: tuple[str, ...]):
+    """(S, subsets): internal pattern-symbol space for a code tuple.
+
+    Internal symbols: 0..3 concrete nucleotides, 4 = 'any' (doubles as
+    the no-insertion q sentinel), 5+j = codes[j]'s subset.  Observed
+    fragment symbols map v -> v (v < 4) and 4+j -> 5+j.
+    """
+    subsets = [IUPAC_SUBSETS[c] for c in codes]
+    return 5 + len(codes), subsets
+
+
+_EXT_AGG_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def ext_agg(codes: tuple[str, ...]) -> np.ndarray:
+    """[S^3, 64] 0/1 matrix: internal pattern -> matching codons (the
+    subset-aware generalization of ANY_AGG)."""
+    codes = tuple(codes)
+    if codes in _EXT_AGG_CACHE:
+        return _EXT_AGG_CACHE[codes]
+    S, subsets = _ext_space(codes)
+    # member[s, n] = 1 if nucleotide n belongs to internal symbol s
+    member = np.zeros((S, 4), dtype=np.float64)
+    member[np.arange(4), np.arange(4)] = 1.0
+    member[4] = 1.0
+    for j, sub in enumerate(subsets):
+        member[5 + j, list(sub)] = 1.0
+    A = np.einsum(
+        "ax,by,cz->abcxyz",
+        member, member, member,
+    ).reshape(S**3, 64)
+    _EXT_AGG_CACHE[codes] = A
+    return A
+
+
+_EXT_MATRIX_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def ext_fragment_matrix(eps: float, codes: tuple[str, ...]) -> np.ndarray:
+    """[S^5, sentinel+1] coefficient matrix: the base-(4+D) counterpart
+    of ``fragment_matrix`` where D = len(codes) extra observed symbols.
+
+        P(Z = f) = sum_{i,j,k} qe[i] qe[j] Me[k] C[i*S^4 + j*S^3 + k, f]
+
+    with qe the extended q (qe[4] = 1 sentinel, qe[5+j] = subset mass)
+    and Me the [S^3] extended codon-marginal table."""
+    key = (float(eps), tuple(codes))
+    if key in _EXT_MATRIX_CACHE:
+        return _EXT_MATRIX_CACHE[key]
+    base = 4 + len(codes)
+    S, _ = _ext_space(codes)
+    offsets, sentinel = frag_layout(base)
+    coefs = term_coefs(eps)
+    C = np.zeros((S**5, sentinel + 1), dtype=np.float64)
+    for length in range(1, 6):
+        frags = _enumerate_frags(length, base)
+        # observed -> internal symbol mapping; extra col = 'any' sentinel
+        obs2int = np.concatenate(
+            [np.arange(4), np.arange(5, S)]
+        )
+        fragi = obs2int[frags]
+        fragx = np.concatenate(
+            [fragi, np.full((fragi.shape[0], 1), 4, dtype=fragi.dtype)],
+            axis=1,
+        )
+        marg_sel, ins_sel, cls = TERMS[length]
+        sel = np.where(marg_sel < 0, length, marg_sel)
+        zabc = fragx[:, sel]  # [F, T, 3] internal symbols
+        midx = (zabc[..., 0] * S + zabc[..., 1]) * S + zabc[..., 2]
+        isel = np.where(ins_sel < 0, length, ins_sel)
+        iidx = fragx[:, isel]  # [F, T, 2] internal symbols
+        coef = np.array([coefs[c] for c in cls])
+        rows = (iidx[..., 0] * S + iidx[..., 1]) * S**3 + midx
+        off = offsets[length]
+        for f in range(frags.shape[0]):
+            np.add.at(C[:, off + f], rows[f], coef)
+    _EXT_MATRIX_CACHE[key] = C
+    return C
+
+
+def ext_q(q5_log: np.ndarray, codes: tuple[str, ...]) -> np.ndarray:
+    """Extended LINEAR q [..., S]: concrete masses, sentinel 1, subset
+    sums per code."""
+    S, subsets = _ext_space(codes)
+    qp = np.exp(np.asarray(q5_log, dtype=np.float64))[..., :4]
+    out = np.ones(qp.shape[:-1] + (S,), dtype=np.float64)
+    out[..., :4] = qp
+    for j, sub in enumerate(subsets):
+        out[..., 5 + j] = qp[..., list(sub)].sum(axis=-1)
+    return out
+
+
+def fragment_table_codes(
+    codonp_log: np.ndarray, q5_log: np.ndarray, eps: float,
+    codes: tuple[str, ...],
+) -> np.ndarray:
+    """Fragment score table over base (4 + len(codes)) observed symbols.
+
+    The exact-subset generalization of ``fragment_table``: a fragment
+    position holding code c scores as the sum over c's nucleotide
+    subset.  ``codonp_log`` is the [..., 64] codon log-prob table (the
+    base-5 marg table cannot express subset marginals; the codon table
+    can express all of them).
+    """
+    codes = tuple(codes)
+    p = np.exp(np.asarray(codonp_log, dtype=np.float64))
+    batch = p.shape[:-1]
+    S, _ = _ext_space(codes)
+    Me = p @ ext_agg(codes).T  # [..., S^3]
+    qe = ext_q(q5_log, codes)  # [..., S]
+    C = ext_fragment_matrix(eps, codes)
+    qq = (qe[..., :, None] * qe[..., None, :]).reshape(batch + (S * S,))
+    D = (qq[..., :, None] * Me[..., None, :]).reshape(batch + (S**5,))
+    probs = D @ C
+    with np.errstate(divide="ignore"):
+        out = np.log(probs)
+    out[..., frag_layout(4 + len(codes))[1]] = -np.inf
+    return out
+
+
 def loglik_given_codon(
-    frag: np.ndarray, q5_log: np.ndarray, eps: float
+    frag: np.ndarray, q5_log: np.ndarray, eps: float,
+    codes: tuple[str, ...] = ("N",),
 ) -> np.ndarray:
     """log P(Z | codon) for all 64 codons; [..., 64].
 
     The conditional counterpart of ``fragment_table`` (replaces
-    imm_frame_cond_loglik).  ``frag`` is an int array of length 1..5.
+    imm_frame_cond_loglik).  ``frag`` is an int array of length 1..5;
+    values >= 4 are ambiguity codes (4+j = ``codes[j]``, default layout:
+    4 = N) scored as exact sums over their nucleotide subsets.
     """
     frag = np.asarray(frag)
     length = len(frag)
@@ -418,31 +571,41 @@ def loglik_given_codon(
     coefs = term_coefs(eps)
     marg_sel, ins_sel, cls = TERMS[length]
 
+    def subset_of(v: int) -> tuple[int, ...]:
+        return (v,) if v < 4 else IUPAC_SUBSETS[codes[v - 4]]
+
+    def qmass(v):
+        if v < 4:
+            return qp[..., v]
+        return sum(qp[..., b] for b in subset_of(v))
+
     codons = _enumerate_frags(3)  # [64, 3]
-    fragx = np.concatenate([frag, [4]]).astype(np.int64)
 
     total = np.zeros(q5_log.shape[:-1] + (64,), dtype=np.float64)
     for t in range(marg_sel.shape[0]):
         coef = coefs[cls[t]]
         # indicator: for each codon position p with pattern obs index s:
-        # codon[p] must equal frag[s]
+        # codon[p] must lie in frag[s]'s subset
         match = np.ones(64, dtype=np.float64)
         for p in range(3):
             s = marg_sel[t, p]
-            if s != ANY and frag[s] != 4:  # frag value 4 = N matches all
-                match = match * (codons[:, p] == frag[s])
+            if s != ANY:
+                sub = subset_of(int(frag[s]))
+                if len(sub) < 4:
+                    match = match * np.isin(codons[:, p], sub)
         qfac = 1.0
         for k in range(2):
             i = ins_sel[t, k]
             if i != NO_INS:
-                qfac = qfac * qp[..., frag[i]]
+                qfac = qfac * qmass(int(frag[i]))
         total = total + coef * qfac * match
     with np.errstate(divide="ignore"):
         return np.log(total)
 
 
 def decode_codon(
-    frag: np.ndarray, codon_lprobs: np.ndarray, q5_log: np.ndarray, eps: float
+    frag: np.ndarray, codon_lprobs: np.ndarray, q5_log: np.ndarray,
+    eps: float, codes: tuple[str, ...] = ("N",),
 ) -> tuple[int, int, int]:
     """Most probable intended codon for an observed fragment.
 
@@ -451,7 +614,7 @@ def decode_codon(
     src/model/protein_profile.c:306-331).
     """
     post = np.asarray(codon_lprobs, dtype=np.float64) + loglik_given_codon(
-        frag, q5_log, eps
+        frag, q5_log, eps, codes
     )
     best = int(np.argmax(post))
     return best // 16, (best // 4) % 4, best % 4

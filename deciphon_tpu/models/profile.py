@@ -139,10 +139,31 @@ class ProteinProfile:
 
     name: str = ""
 
-    def fragment_tables(self, base: int = 4):
+    def fragment_tables(self, base: int = 4, codes: tuple | None = None):
         """(F_match [K,T], F_insert [T], F_null [T]) log scores, where
-        T = 1365 (base 4) or 3906 (base 5, IUPAC N-extended)."""
+        T = 1365 (base 4) or 3906 (base 5, IUPAC N-extended).
+
+        ``codes`` (a tuple of IUPAC ambiguity letters) switches to the
+        exact-subset extended tables over base 4+len(codes): every
+        degenerate observed symbol scores as the sum of the fragment
+        probability over its nucleotide subset (frame.IUPAC_SUBSETS).
+        ``codes=('N',)`` is numerically identical to ``base=5``.
+        """
         eps = self.cfg.epsilon
+        if codes is not None and tuple(codes) not in ((), ("N",)):
+            codes = tuple(codes)
+            fm = frame.fragment_table_codes(
+                self.match_codonp, self.match_q, eps, codes
+            )
+            fi = frame.fragment_table_codes(
+                self.insert_codonp, self.insert_q, eps, codes
+            )
+            fn = frame.fragment_table_codes(
+                self.null_codonp, self.null_q, eps, codes
+            )
+            return fm, fi, fn
+        if codes == ("N",):
+            base = 5
         fm = frame.fragment_table(self.match_marg, self.match_q, eps, base)
         fi = frame.fragment_table(self.insert_marg, self.insert_q, eps, base)
         fn = frame.fragment_table(self.null_marg, self.null_q, eps, base)
@@ -180,6 +201,13 @@ class ProteinModelBuilder:
     def setup(self, core_size: int) -> None:
         if core_size <= 0:
             raise einval("core_size cannot be zero")
+        from deciphon_tpu.utils.limits import CORE_SIZE_MAX
+
+        if core_size > CORE_SIZE_MAX:
+            raise einval(
+                f"core_size {core_size} exceeds the maximum "
+                f"{CORE_SIZE_MAX} (reference core/limits.h:11)"
+            )
         self.core_size = core_size
         self._match_lodds = []
         self._consensus = []

@@ -4,11 +4,13 @@ The compute core of the scan workload, replacing the reference's per-thread
 rescan loop (src/server/scan.c:227-258 + scan_thread.c:86-129) with a
 two-pass batched design:
 
-  pass 1 (hot, device): profiles grouped into padded core-size buckets and
-    chunked into blocks resident in device memory; sequences grouped into
-    padded length buckets; every (seq, profile) pair scored by the batched
-    JAX/Pallas Viterbi; LRT filter (xmath.h:236-247, threshold 10.0 per
-    scan.c:221).
+  pass 1 (hot, device): profiles packed into sorted-greedy rows of a
+    shared padded core size (db/partition.pack_profile_rows) and kept
+    resident in device memory; sequences sorted by length so each kernel
+    stack stops at its own longest read; every (seq, profile) pair scored
+    by the batched JAX/Pallas Viterbi.  All blocks are dispatched
+    asynchronously and synced once, then the LRT filter is applied
+    (xmath.h:236-247, threshold 10.0 per scan.c:221).
   pass 2 (rare): only LRT survivors are re-run with traceback — a jitted
     backpointer DP (ops/viterbi_trace.py, ~5-10x the numpy oracle) — and
     decoded into match strings; hits are rare by construction, mirroring
@@ -17,15 +19,14 @@ two-pass batched design:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Iterable, Sequence
+from dataclasses import dataclass
+from typing import Sequence
 
 import numpy as np
 
 from deciphon_tpu.db.format import TensorDB
-from deciphon_tpu.db.partition import bucket_by_core_size
+from deciphon_tpu.db.partition import pack_profile_rows
 from deciphon_tpu.models import codec
-from deciphon_tpu.models.alphabet import DNA
 from deciphon_tpu.ops import viterbi_jax as vj
 from deciphon_tpu.ops import viterbi_ref as vr
 from deciphon_tpu.utils import trace
@@ -70,17 +71,45 @@ class Hit:
     match: str
 
 
-def pad_seq_len(L: int) -> int:
-    """Pad sequence length to a whole number of kernel streaming chunks.
+class _Block:
+    """One kernel dispatch unit: profiles sharing (kpad, group width).
 
-    The kernel compiles per (core bucket, chunk count) and stops
-    computing at the batch's true longest read, so padding costs only
-    index-transfer bytes — buckets are plain 255-position chunk
-    multiples (every read <= 255 nt shares one compile per core
-    bucket)."""
+    Device/host tensor forms are built lazily and cached; the base-5
+    (IUPAC) forms are dropped after each scan that needed them —
+    ambiguous reads are rare and the tables are ~3x the base-4 size.
+    """
+
+    __slots__ = (
+        "chunk", "kpad", "group", "host", "pallas", "jaxdev",
+        "iupac_host", "iupac_dev",
+    )
+
+    def __init__(self, chunk: np.ndarray, kpad: int, group: int):
+        self.chunk = chunk
+        self.kpad = kpad
+        self.group = group
+        self.host = None  # host ProfileBlock (base 4)
+        self.pallas = None  # PallasBlock | ShardedPallasBlock
+        self.jaxdev = None  # device ProfileBlock for the XLA engine
+        self.iupac_host = None  # host base-5 ProfileBlock
+        self.iupac_dev = None  # device base-5 form (engine-dependent)
+
+
+def pad_seq_len(L: int) -> int:
+    """Pad sequence length to a power-of-two count of kernel streaming
+    chunks (255 positions each).
+
+    The kernel compiles per (core bucket, chunk count) and each sequence
+    stack stops computing at its own longest read, so padding costs only
+    index-transfer bytes; power-of-two chunk tiers bound the number of
+    compile variants at log(max read length)."""
     from deciphon_tpu.ops.viterbi_pallas import CPOS
 
-    return max(CPOS, (L + CPOS - 1) // CPOS * CPOS)
+    nch = max(1, -(-L // CPOS))
+    tier = 1
+    while tier < nch:
+        tier *= 2
+    return tier * CPOS
 
 
 class ScanEngine:
@@ -90,7 +119,6 @@ class ScanEngine:
         self,
         db: TensorDB,
         params: ScanParams = ScanParams(),
-        block_size: int = 64,
         lane: int = 128,
         progress=None,
         use_pallas: bool | None = None,
@@ -105,72 +133,168 @@ class ScanEngine:
         self.mesh = mesh
         self.db = db
         self.params = params
-        self.block_size = block_size
         self.progress = progress
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
         self.traceback = traceback
-        # entry = [chunk, host ProfileBlock|None, kpad, PallasBlock|None,
-        #          device ProfileBlock|None, iupac host block|None,
-        #          iupac device block|None]
-        self._blocks: list[list] = []
+        self._blocks: list[_Block] = []
         self._kpad_of: dict[int, int] = {}
-        # The Pallas kernel rounds K up to whole 128-lane tiles anyway, so
-        # on TPU all sub-128 cores share one K=128 bucket — fewer compiles
-        # (one per (kpad, length-bucket) pair) and fuller blocks.
-        core_pad = (
-            np.maximum(db.core_sizes, lane) if use_pallas else db.core_sizes
-        )
-        for kpad, idxs in bucket_by_core_size(core_pad, lane).items():
-            for i in range(0, len(idxs), block_size):
-                chunk = idxs[i : i + block_size]
-                self._blocks.append([chunk, None, kpad, None, None, None, None])
-                for gi in chunk:
-                    self._kpad_of[int(gi)] = kpad
-
-    def _block(self, entry) -> vj.ProfileBlock:
-        """Host (numpy) tensor block for this chunk."""
-        chunk, block, kpad = entry[0], entry[1], entry[2]
-        if block is None:
-            profiles = [self.db.profile(int(i)) for i in chunk]
-            block = vj.build_profile_block(profiles, kpad=kpad)
-            entry[1] = block
-        return block
-
-    def _iupac_block(self, entry) -> vj.ProfileBlock:
-        """Host base-5 (IUPAC-N) tensor block, built lazily: only scans
-        whose reads actually contain ambiguity codes pay for it."""
-        if entry[5] is None:
-            profiles = [self.db.profile(int(i)) for i in entry[0]]
-            entry[5] = vj.build_profile_block(
-                profiles, kpad=entry[2], base=5
+        if use_pallas:
+            # sorted-greedy rows of a shared lane-rounded width; huge-core
+            # rows are half-width so the 4096 envelope tail wastes less
+            packed = pack_profile_rows(db.core_sizes, lane=lane)
+        else:
+            # XLA engine has no sublane-row structure; group is notional
+            packed = pack_profile_rows(
+                db.core_sizes, lane=lane, small_group_kpad=1 << 30
             )
-        return entry[5]
+        for kpad, group, idxs in packed:
+            blk = _Block(idxs, kpad, group)
+            self._blocks.append(blk)
+            for gi in idxs:
+                self._kpad_of[int(gi)] = kpad
 
-    def _pallas_block(self, entry):
-        if entry[3] is None:
+    def _block(self, blk: _Block) -> vj.ProfileBlock:
+        """Host (numpy) tensor block for this chunk."""
+        if blk.host is None:
+            profiles = [self.db.profile(int(i)) for i in blk.chunk]
+            blk.host = vj.build_profile_block(profiles, kpad=blk.kpad)
+        return blk.host
+
+    def _iupac_block(self, blk: _Block, codes: tuple) -> vj.ProfileBlock:
+        """Host extended (IUPAC exact-subset) tensor block over base
+        4+len(codes), built lazily: only scans whose reads actually
+        contain ambiguity codes pay for it."""
+        if blk.iupac_host is None:
+            blk.iupac_host = {}
+        if codes not in blk.iupac_host:
+            profiles = [self.db.profile(int(i)) for i in blk.chunk]
+            blk.iupac_host[codes] = vj.build_profile_block(
+                profiles, kpad=blk.kpad, codes=codes
+            )
+        return blk.iupac_host[codes]
+
+    def _pallas_block(self, blk: _Block):
+        if blk.pallas is None:
             if self.mesh is not None:
                 from deciphon_tpu.parallel.pallas_scan import (
                     ShardedPallasBlock,
                 )
 
-                entry[3] = ShardedPallasBlock(self._block(entry), self.mesh)
+                blk.pallas = ShardedPallasBlock(
+                    self._block(blk), self.mesh, group=blk.group
+                )
             else:
                 from deciphon_tpu.ops import viterbi_pallas as vp
 
-                entry[3] = vp.PallasBlock(self._block(entry))
-            entry[1] = None  # host copy no longer needed on this path
-        return entry[3]
+                # fragment tables synthesized on device (MXU) from the
+                # compact per-node marginals — skips the host dgemm and
+                # ships ~10x fewer bytes (ops/tables.py)
+                blk.pallas = vp.PallasBlock.from_profiles(
+                    [self.db.profile(int(i)) for i in blk.chunk],
+                    kpad=blk.kpad, group=blk.group,
+                )
+            blk.host = None  # host copy no longer needed on this path
+        return blk.pallas
 
-    def _jax_block(self, entry) -> vj.ProfileBlock:
+    def _jax_block(self, blk: _Block) -> vj.ProfileBlock:
         """Device-resident block for the XLA engine path (upload once)."""
-        if entry[4] is None:
+        if blk.jaxdev is None:
             import jax.numpy as jnp
 
-            entry[4] = vj.ProfileBlock(
-                *(jnp.asarray(a) for a in self._block(entry))
+            blk.jaxdev = vj.ProfileBlock(
+                *(jnp.asarray(a) for a in self._block(blk))
             )
-        return entry[4]
+        return blk.jaxdev
+
+    def _iupac_scores(self, blk: _Block, codes: tuple, eidx, slen):
+        """Queue an exact-subset IUPAC XLA-engine dispatch for one block
+        (base 4+len(codes) fragment tables)."""
+        p = self.params
+        if blk.iupac_dev is None:
+            blk.iupac_dev = {}
+        if self.mesh is not None:
+            from deciphon_tpu.parallel import pallas_scan as ps
+
+            if codes not in blk.iupac_dev:
+                blk.iupac_dev[codes] = ps.put_sharded_block(
+                    self.mesh, self._iupac_block(blk, codes)
+                )
+            return ps.sharded_viterbi_scores(
+                self.mesh, self._iupac_block(blk, codes), eidx, slen,
+                multi_hits=p.multi_hits,
+                hmmer3_compat=p.hmmer3_compat,
+                dev_block=blk.iupac_dev[codes],
+            )
+        import jax.numpy as jnp
+
+        if codes not in blk.iupac_dev:
+            blk.iupac_dev[codes] = vj.ProfileBlock(
+                *(jnp.asarray(a) for a in self._iupac_block(blk, codes))
+            )
+        return vj.viterbi_scores(
+            blk.iupac_dev[codes], eidx, slen,
+            multi_hits=p.multi_hits, hmmer3_compat=p.hmmer3_compat,
+        )
+
+    def warmup(self, nseqs: int, max_len: int, workers: int = 8) -> float:
+        """AOT-compile (in parallel threads) every Pallas kernel variant a
+        scan of ``nseqs`` reads up to ``max_len`` nt will need.
+
+        XLA compilation releases the GIL, so the per-tier compiles —
+        tens of seconds each at large kpad — overlap; combined with the
+        persistent compile cache (utils/jaxcache.py) this replaces the
+        serial compile-on-first-scan stall.  Returns seconds spent."""
+        import time
+
+        if not self.use_pallas or self.mesh is not None:
+            return 0.0
+        import concurrent.futures as cf
+
+        import jax
+        from deciphon_tpu.ops import viterbi_pallas as vp
+
+        t0 = time.perf_counter()
+        Lp = pad_seq_len(max_len)
+        nch = Lp // vp.CPOS
+        variants = {}
+        for blk in self._blocks:
+            if blk.kpad > PALLAS_MAX_KPAD:
+                continue
+            P = (len(blk.chunk) + blk.group - 1) // blk.group
+            nseq = vp.pick_nseq(nseqs, vp.nseq_cap(blk.kpad, blk.group))
+            n_stream = 0 if blk.kpad <= vp.RESIDENT_MAX_KPAD else 2
+            sg = (nseqs + nseq - 1) // nseq
+            variants[(blk.kpad, P, blk.group, nseq, n_stream)] = sg
+
+        def compile_one(key, sg):
+            kpad, P, group, nseq, n_stream = key
+            f32 = jax.ShapeDtypeStruct
+            vp._run.lower(
+                f32((P, vp.NTAB, group, kpad), np.float32),
+                f32((P, vp.NTAB, 2, group), np.float32),
+                f32((P, vp.NPLANES, group, kpad), np.float32),
+                jax.ShapeDtypeStruct(
+                    (sg, nch, vp.SEQROWS, nseq * vp.WC // vp.SEQROWS),
+                    np.int32,
+                ),
+                jax.ShapeDtypeStruct(
+                    (sg, vp.SEQROWS, vp.SLPAD), np.int32
+                ),
+                K=kpad, P=P, nseq=nseq,
+                multi_hits=self.params.multi_hits,
+                hmmer3_compat=self.params.hmmer3_compat,
+                interpret=self.pallas_interpret,
+                n_stream=n_stream, group=group,
+            ).compile()
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [
+                ex.submit(compile_one, k, sg) for k, sg in variants.items()
+            ]
+            for f in futs:
+                f.result()
+        return time.perf_counter() - t0
 
     def scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
         """Score all (seq, profile) pairs; return LRT-passing hits with
@@ -182,30 +306,39 @@ class ScanEngine:
             return self._scan(seqs)
 
     def _scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
-        # length-bucket the sequences; reads containing IUPAC ambiguity
-        # codes (N etc., encoded 4) bucket separately — they score via
-        # the XLA engine against base-5 (N-marginal) fragment tables,
-        # while pure-ACGT reads stay on the Pallas fast path.  Mirrors
-        # the reference's imm_dna_iupac scan alphabet (hmm.c:72-73).
-        from deciphon_tpu.models.alphabet import encode_iupac
+        # Split reads into classes by their set of IUPAC ambiguity codes:
+        # pure-ACGT reads take the Pallas fast path; each distinct code
+        # set scores on the XLA engine over EXACT base-(4+D) subset
+        # tables (models/frame.fragment_table_codes) — the subset-exact
+        # refinement of the reference's imm_dna_iupac scan alphabet
+        # (hmm.c:72-73).  Each class sorts by length DESCENDING so
+        # same-stack reads share a length profile and each kernel stack
+        # stops at its own max.
+        from deciphon_tpu.models.alphabet import encode_extended
 
-        by_len: dict[tuple[int, bool], list[int]] = {}
         encoded = []
+        classes: dict[tuple, list[int]] = {}
         for si, rec in enumerate(seqs):
-            enc = encode_iupac(rec.data)
+            enc, cds = encode_extended(rec.data)
             encoded.append(enc)
-            iupac = bool(np.any(enc >= 4))
-            by_len.setdefault((pad_seq_len(len(enc)), iupac), []).append(si)
+            classes.setdefault(cds, []).append(si)
 
-        hits: list[Hit] = []
         p = self.params
         counters = trace.ScanCounters()
-        for (lp, iupac), seq_ids in sorted(by_len.items()):
-            base = 5 if iupac else 4
+        # (seq_ids, blk, codes, alt_dev, null_dev): every dispatch queued
+        # before any host sync so device compute pipelines across blocks
+        pending: list[tuple[list[int], _Block, tuple, object, object]] = []
+        used_iupac = False
+        for codes in sorted(classes):
+            seq_ids = sorted(
+                classes[codes], key=lambda si: -len(encoded[si])
+            )
+            base = 4 + len(codes)
+            Lp = pad_seq_len(max(len(encoded[si]) for si in seq_ids))
             eidx = np.stack(
                 [
                     vj.end_fragment_indices(
-                        fragment_indices(encoded[si], pad_to=lp, base=base),
+                        fragment_indices(encoded[si], pad_to=Lp, base=base),
                         base=base,
                     )
                     for si in seq_ids
@@ -214,42 +347,19 @@ class ScanEngine:
             slen = np.array([len(encoded[si]) for si in seq_ids], np.int32)
             seqinfo_of: dict[int, tuple] = {}  # nseq stack -> packed batch
             len_sum = int(slen.sum())
-            for entry in self._blocks:
-                chunk, kpad = entry[0], entry[2]
+            for blk in self._blocks:
                 counters.consume(
-                    len_sum, int(self.db.core_sizes[chunk].sum())
+                    len_sum, int(self.db.core_sizes[blk.chunk].sum())
                 )
-                if iupac:
-                    # base-5 tables exceed the kernel's VMEM residency
-                    # plan; the XLA engine gathers them from HBM with no
-                    # layout constraint (ambiguous reads are rare)
-                    if self.mesh is not None:
-                        from deciphon_tpu.parallel import pallas_scan as ps
-
-                        alt, null = ps.sharded_viterbi_scores(
-                            self.mesh, self._iupac_block(entry), eidx, slen,
-                            multi_hits=p.multi_hits,
-                            hmmer3_compat=p.hmmer3_compat,
-                        )
-                    else:
-                        import jax.numpy as jnp
-
-                        if entry[6] is None:
-                            entry[6] = vj.ProfileBlock(
-                                *(
-                                    jnp.asarray(a)
-                                    for a in self._iupac_block(entry)
-                                )
-                            )
-                        alt, null = vj.viterbi_scores(
-                            entry[6], eidx, slen,
-                            multi_hits=p.multi_hits,
-                            hmmer3_compat=p.hmmer3_compat,
-                        )
-                elif self.use_pallas and kpad <= PALLAS_MAX_KPAD:
+                if codes:
+                    used_iupac = True
+                    alt, null = self._iupac_scores(blk, codes, eidx, slen)
+                elif self.use_pallas and blk.kpad <= PALLAS_MAX_KPAD:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
-                    nseq = vp.pick_nseq(len(seq_ids), vp.nseq_cap(kpad))
+                    nseq = vp.pick_nseq(
+                        len(seq_ids), vp.nseq_cap(blk.kpad, blk.group)
+                    )
                     if nseq not in seqinfo_of:
                         import jax
                         import jax.numpy as jnp
@@ -260,8 +370,7 @@ class ScanEngine:
                                 self.mesh.shape["seqs"] if self.mesh else 1
                             ),
                         )
-                        # upload once per (length bucket, stack), not
-                        # per block
+                        # upload once per sequence stack, not per block
                         if self.mesh is not None:
                             from jax.sharding import (
                                 NamedSharding, PartitionSpec,
@@ -280,7 +389,7 @@ class ScanEngine:
                                 jnp.asarray(seqinfo), jnp.asarray(seqlens), S
                             )
                     seqinfo, seqlens, S = seqinfo_of[nseq]
-                    alt, null = self._pallas_block(entry).scores(
+                    alt, null = self._pallas_block(blk).scores(
                         seqinfo, seqlens, S,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
@@ -290,50 +399,60 @@ class ScanEngine:
                     from deciphon_tpu.parallel import pallas_scan as ps
 
                     alt, null = ps.sharded_viterbi_scores(
-                        self.mesh, self._block(entry), eidx, slen,
+                        self.mesh, self._block(blk), eidx, slen,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
                     )
                 else:
                     alt, null = vj.viterbi_scores(
-                        self._jax_block(entry), eidx, slen,
+                        self._jax_block(blk), eidx, slen,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
                     )
-                alt = np.asarray(alt, dtype=np.float64)
-                null = np.asarray(null, dtype=np.float64)
-                lrt = -2.0 * (null - alt)
-                ok = np.isfinite(lrt) & (lrt >= p.lrt_threshold)
-                ok &= alt > vj.NEG / 2
-                if self.progress is not None:
-                    self.progress.consume(len(seq_ids) * len(chunk))
-                for si_local, bi in np.argwhere(ok):
-                    si = seq_ids[int(si_local)]
-                    gi = int(chunk[int(bi)])
-                    hits.append(
-                        self._traceback(
-                            seqs[si], si, encoded[si], gi,
-                            float(alt[si_local, bi]),
-                            float(null[si_local, bi]),
-                            float(lrt[si_local, bi]),
-                        )
+                pending.append((seq_ids, blk, codes, alt, null))
+
+        # single host-sync pass: LRT gate + pass-2 traceback of survivors
+        hits: list[Hit] = []
+        for seq_ids, blk, codes, alt, null in pending:
+            alt = np.asarray(alt, dtype=np.float64)
+            null = np.asarray(null, dtype=np.float64)
+            lrt = -2.0 * (null - alt)
+            ok = np.isfinite(lrt) & (lrt >= p.lrt_threshold)
+            ok &= alt > vj.NEG / 2
+            if self.progress is not None:
+                self.progress.consume(len(seq_ids) * len(blk.chunk))
+            for si_local, bi in np.argwhere(ok):
+                si = seq_ids[int(si_local)]
+                gi = int(blk.chunk[int(bi)])
+                hits.append(
+                    self._traceback(
+                        seqs[si], si, encoded[si], codes, gi,
+                        float(alt[si_local, bi]),
+                        float(null[si_local, bi]),
+                        float(lrt[si_local, bi]),
                     )
+                )
+        if used_iupac:
+            # base-5 tables are ~3x the base-4 footprint; drop them so a
+            # single ambiguous read doesn't pin the whole DB twice
+            for blk in self._blocks:
+                blk.iupac_host = None
+                blk.iupac_dev = None
         counters.report()
         hits.sort(key=lambda h: (h.seq_idx, h.profile_idx))
         return hits
 
     def _traceback(
-        self, rec: SeqRecord, si: int, enc: np.ndarray, profile_idx: int,
-        alt: float, null: float, lrt: float,
+        self, rec: SeqRecord, si: int, enc: np.ndarray, codes: tuple,
+        profile_idx: int, alt: float, null: float, lrt: float,
     ) -> Hit:
         prof = self.db.profile(profile_idx)
-        base = 5 if bool(np.any(enc >= 4)) else 4
         if self.traceback == "oracle":
             res = vr.viterbi_alt(
                 prof, enc,
                 multi_hits=self.params.multi_hits,
                 hmmer3_compat=self.params.hmmer3_compat,
-                base=base,
+                codes=codes,
             )
         else:
             from deciphon_tpu.ops import viterbi_trace as vtr
@@ -346,11 +465,11 @@ class ScanEngine:
                 hmmer3_compat=self.params.hmmer3_compat,
                 block_row=tuple(
                     vj.build_profile_block(
-                        [prof], kpad=self._kpad_of[profile_idx], base=base
+                        [prof], kpad=self._kpad_of[profile_idx], codes=codes
                     )
                 ),
                 pad_to=pad_seq_len(len(enc)),
-                base=base,
+                codes=codes,
             )
         match = codec.render_match(codec.match_steps(prof, rec.data, res.path))
         return Hit(

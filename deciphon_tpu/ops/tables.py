@@ -75,7 +75,24 @@ def _length_consts(eps: float):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "row_chunk"))
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _synth_chunk(mp, q, eps: float):
+    """One fixed-shape [R, 125] x [R, 5] -> [R, NFRAGS] synthesis chunk.
+
+    Shape-stable on purpose: every caller pads to the same R, so the
+    whole press/scan pipeline compiles this GEMM graph exactly ONCE
+    (a data-dependent lax.map here used to recompile per profile block
+    and dominated cold-start)."""
+    consts = _length_consts(eps)
+    qq = (q[:, :, None] * q[:, None, :]).reshape(q.shape[0], 25)
+    parts = []
+    for E, G, F, T in consts:
+        p = (mp @ jnp.asarray(E)) * (qq @ jnp.asarray(G))
+        parts.append(p.reshape(p.shape[0], F, T).sum(-1))
+    probs = jnp.concatenate(parts, axis=1)  # [R, NFRAGS]
+    return jnp.maximum(jnp.log(probs), NEG)
+
+
 def synth_fragment_tables(margp, qp, eps: float, row_chunk: int = 4096):
     """[N, NTAB] log fragment tables from linear-space inputs.
 
@@ -86,31 +103,24 @@ def synth_fragment_tables(margp, qp, eps: float, row_chunk: int = 4096):
       eps: indel error rate (static).
 
     Returns [N, NTAB] float32 log-probs, -inf clamped to viterbi_jax.NEG,
-    sentinel column NEG.
+    sentinel column NEG.  Dispatches fixed-shape row chunks so XLA
+    compiles the synthesis once regardless of N.
     """
-    consts = _length_consts(eps)
     N = margp.shape[0]
     Np = (N + row_chunk - 1) // row_chunk * row_chunk
-    margp = jnp.pad(margp.astype(jnp.float32), ((0, Np - N), (0, 0)))
-    qp = jnp.pad(qp.astype(jnp.float32), ((0, Np - N), (0, 0)))
-
-    def chunk_fn(args):
-        mp, q = args  # [R, 125], [R, 5]
-        qq = (q[:, :, None] * q[:, None, :]).reshape(q.shape[0], 25)
-        parts = []
-        for E, G, F, T in consts:
-            p = (mp @ jnp.asarray(E)) * (qq @ jnp.asarray(G))
-            parts.append(p.reshape(p.shape[0], F, T).sum(-1))
-        probs = jnp.concatenate(parts, axis=1)  # [R, NFRAGS]
-        return jnp.maximum(jnp.log(probs), NEG)
-
-    logs = jax.lax.map(
-        chunk_fn,
-        (
-            margp.reshape(-1, row_chunk, 125),
-            qp.reshape(-1, row_chunk, 5),
-        ),
-    ).reshape(Np, NFRAGS)[:N]
+    margp = jnp.pad(
+        jnp.asarray(margp, jnp.float32), ((0, Np - N), (0, 0))
+    )
+    qp = jnp.pad(jnp.asarray(qp, jnp.float32), ((0, Np - N), (0, 0)))
+    logs = [
+        _synth_chunk(
+            jax.lax.dynamic_slice_in_dim(margp, i, row_chunk),
+            jax.lax.dynamic_slice_in_dim(qp, i, row_chunk),
+            eps=float(eps),
+        )
+        for i in range(0, Np, row_chunk)
+    ]
+    logs = jnp.concatenate(logs, axis=0)[:N] if len(logs) > 1 else logs[0][:N]
     # append the -inf padding sentinel column
     return jnp.concatenate(
         [logs, jnp.full((N, 1), NEG, jnp.float32)], axis=1

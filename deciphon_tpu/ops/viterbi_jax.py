@@ -65,7 +65,7 @@ def _clamp(a: np.ndarray, dtype=np.float32) -> np.ndarray:
 
 def build_profile_block(
     profiles: list[ProteinProfile], kpad: int | None = None, base: int = 4,
-    dtype=np.float32,
+    dtype=np.float32, codes: tuple | None = None,
 ) -> ProfileBlock:
     """Stack + pad host-side profiles into a block of HOST (numpy) arrays.
 
@@ -73,7 +73,11 @@ def build_profile_block(
     exactly once (PallasBlock repacks [B,K,NTAB] -> [P,NTAB,GROUP,K];
     uploading here first would ship the tables over the interconnect
     twice and pull them back once — measured 97 s of a Pfam-scale scan's
-    setup on a tunneled chip)."""
+    setup on a tunneled chip).  On TPU the engine instead synthesizes
+    tables on device (PallasBlock.from_profiles).
+
+    ``codes`` switches to exact-subset IUPAC tables over base
+    4+len(codes) (models/frame.fragment_table_codes)."""
     B = len(profiles)
     K = max(p.core_size for p in profiles)
     if kpad is not None:
@@ -81,6 +85,9 @@ def build_profile_block(
         K = kpad
     from deciphon_tpu.models.frame import frag_layout
 
+    if codes is not None:
+        codes = tuple(codes)
+        base = 4 + len(codes)
     ntab = frag_layout(base)[1] + 1
 
     def padk(a, fill):
@@ -99,7 +106,7 @@ def build_profile_block(
     }
     core = np.empty(B, dtype=np.int32)
     for b, p in enumerate(profiles):
-        fmat, fins, fnull = p.fragment_tables(base=base)
+        fmat, fins, fnull = p.fragment_tables(base=base, codes=codes)
         fm[b, : p.core_size] = _clamp(fmat, dtype)
         fi[b] = _clamp(fins, dtype)
         fn[b] = _clamp(fnull, dtype)

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from deciphon_tpu.models.frame import FRAG_OFFSET, FRAG_SENTINEL
 from deciphon_tpu.ops.viterbi_jax import NEG, ProfileBlock
 
-GROUP = 16  # profiles per kernel instance (sublane dim)
+GROUP = 16  # default profiles per kernel instance (sublane dim)
 NSEQ = 32  # default sequences per kernel instance (stacked leading dim)
 NTAB = FRAG_SENTINEL + 1  # 1365 fragment rows incl. -inf sentinel
 
@@ -66,12 +66,14 @@ NRES_B = FRAG_OFFSET[4]  # 84 rows cover fragment lengths 1..3
 STREAM_LENGTHS = (4, 5)
 
 
-def nseq_cap(kpad: int) -> int:
+def nseq_cap(kpad: int, group: int = GROUP) -> int:
     """Per-instance sequence-stack cap: the DP rings + stream buffers are
-    O(nseq*K) of VMEM, so the stack shrinks as the core axis grows."""
-    if kpad <= 1024:
+    O(nseq*group*K) of VMEM, so the stack shrinks as the core axis grows
+    and recovers when the profile rows are half-width (group=8)."""
+    budget = 1024 * (GROUP // group)
+    if kpad <= budget:
         return NSEQ
-    if kpad <= 2048:
+    if kpad <= 2 * budget:
         return 16
     return 8
 
@@ -154,7 +156,7 @@ def _kernel(
     femis_sem,
     eidx_sem,  # DMA semaphore pair, one per chunk buffer
     seqlen_sem,
-    *args,  # regime B: stream_buf VMEM [2, NSTR, nseq, GROUP, K],
+    *args,  # regime B: stream_buf VMEM [2, NSTR, nseq, group, K],
     #   stream_sem DMA[(2, NSTR, nseq)]
     K: int,
     nseq: int,
@@ -163,6 +165,7 @@ def _kernel(
     hmmer3_compat: bool,
     n_stream: int = 0,
     semiring: str = "max",
+    group: int = GROUP,
 ):
     join, reduce_k = _kernel_semiring(semiring)
     if n_stream:
@@ -274,8 +277,8 @@ def _kernel(
     a_base = trans_ref[0, P_ABASE]
     cdd = trans_ref[0, P_CDD]
 
-    negk = jnp.full((nseq, GROUP, K), NEG, dtype=jnp.float32)
-    negg = jnp.full((nseq, GROUP), NEG, dtype=jnp.float32)
+    negk = jnp.full((nseq, group, K), NEG, dtype=jnp.float32)
+    negg = jnp.full((nseq, group), NEG, dtype=jnp.float32)
     # loop-invariant additive fill masks for lane shifts (one per power
     # of two + the write shift); [1,1,K] broadcasts over seqs/sublanes
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
@@ -291,11 +294,11 @@ def _kernel(
     for slot in range(5):
         ring_cs[slot] = negk
         ring_ic[slot] = negk
-        ring_s[slot] = jnp.full((8, nseq, GROUP), NEG, dtype=jnp.float32)
+        ring_s[slot] = jnp.full((8, nseq, group), NEG, dtype=jnp.float32)
     # the B->M entry term is folded into ring_cs at write time; seed the
     # virtual position-0 slot with S->B->entry (VB[0] = t_NB).  Mosaic
     # can't reshape [nseq,1]->[nseq,1,1]; go through [nseq,GROUP] first.
-    vb0 = jnp.broadcast_to(t_NB, (nseq, GROUP))
+    vb0 = jnp.broadcast_to(t_NB, (nseq, group))
     ring_cs[0] = vb0[:, :, None] + entry
     out_acc[0] = negg
     out_acc[1] = negg
@@ -437,22 +440,22 @@ def _kernel(
     null_ref[0, s_id] = out_acc[1]
 
 
-def _pad_dims(B: int, K: int):
-    """(Kp, Bp, P): lane-tile-padded core size and GROUP-padded profiles.
+def _pad_dims(B: int, K: int, group: int = GROUP):
+    """(Kp, Bp, P): lane-tile-padded core size and group-padded profiles.
 
     The core axis is the lane (minormost) dim of the HBM->VMEM DMA
     blocks, so it must be a whole number of 128-lane tiles on real
-    hardware.  Sub-128 cores round up for free: a [GROUP, K<128] VMEM
+    hardware.  Sub-128 cores round up for free: a [group, K<128] VMEM
     array occupies a full tile either way."""
     Kp = max(128, ((K + 127) // 128) * 128)
-    Bp = ((B + GROUP - 1) // GROUP) * GROUP
-    return Kp, Bp, Bp // GROUP
+    Bp = ((B + group - 1) // group) * group
+    return Kp, Bp, Bp // group
 
 
-def _pack_trans(getarr, Bp: int, Kp: int):
-    """[P, NPLANES, GROUP, Kp] transition planes from [Bp, Kp] vectors
+def _pack_trans(getarr, Bp: int, Kp: int, group: int = GROUP):
+    """[P, NPLANES, group, Kp] transition planes from [Bp, Kp] vectors
     supplied by ``getarr(name)`` (already profile- and core-padded)."""
-    P = Bp // GROUP
+    P = Bp // group
     dd = getarr("dd_in")
     dd_safe = np.maximum(dd, NEG / 1e6)
     dd_safe[:, 0] = 0.0
@@ -478,22 +481,22 @@ def _pack_trans(getarr, Bp: int, Kp: int):
         ],
         axis=1,
     )  # [Bp, NPLANES, Kp]
-    return planes.reshape(P, GROUP, NPLANES, Kp).transpose(0, 2, 1, 3).copy()
+    return planes.reshape(P, group, NPLANES, Kp).transpose(0, 2, 1, 3).copy()
 
 
-def pack_block(block: ProfileBlock):
+def pack_block(block: ProfileBlock, group: int = GROUP):
     """Host-side packing of a ProfileBlock into kernel layout.
 
-    Returns (femis_m [P,NTAB,GROUP,K], femis_in [P,NTAB,2,GROUP]
-    (insert + null tables), trans [P,NPLANES,GROUP,K], B) with the
-    profile axis padded to GROUP multiples.
+    Returns (femis_m [P,NTAB,group,K], femis_in [P,NTAB,2,group]
+    (insert + null tables), trans [P,NPLANES,group,K], B) with the
+    profile axis padded to group multiples.
     """
     fm = np.asarray(block.fm, np.float32)
     fi = np.asarray(block.fi, np.float32)
     fn = np.asarray(block.fn, np.float32)
     B, K, ntab = fm.shape
     assert ntab == NTAB
-    Kp, Bp, P = _pad_dims(B, K)
+    Kp, Bp, P = _pad_dims(B, K, group)
     if Kp != K:
         fm = np.concatenate(
             [fm, np.full((B, Kp - K, ntab), NEG, np.float32)], axis=1
@@ -515,55 +518,104 @@ def pack_block(block: ProfileBlock):
         )
 
     femis_m = (
-        padB(fm).reshape(P, GROUP, Kp, NTAB).transpose(0, 3, 1, 2).copy()
+        padB(fm).reshape(P, group, Kp, NTAB).transpose(0, 3, 1, 2).copy()
     )
     femis_in = np.stack(
         [
-            padB(fi).reshape(P, GROUP, NTAB).transpose(0, 2, 1),
-            padB(fn).reshape(P, GROUP, NTAB).transpose(0, 2, 1),
+            padB(fi).reshape(P, group, NTAB).transpose(0, 2, 1),
+            padB(fn).reshape(P, group, NTAB).transpose(0, 2, 1),
         ],
         axis=2,
-    ).copy()  # [P, NTAB, 2, GROUP]
+    ).copy()  # [P, NTAB, 2, group]
 
     def arrK(name):
         return padK(padB(np.asarray(getattr(block, name), np.float32)))
 
-    trans = _pack_trans(arrK, Bp, Kp)
+    trans = _pack_trans(arrK, Bp, Kp, group)
     return femis_m, femis_in, trans, B
+
+
+def pack_block_compact(profiles, kpad: int | None = None,
+                       group: int = GROUP):
+    """Host side of the DEVICE-SYNTHESIS packing: compact per-node
+    emission inputs instead of full fragment tables.
+
+    Ships exp(codon marginal) [Bp, Kp, 125] + background q [Bp, Kp, 5]
+    (plus the insert/null pairs) — ~10.5x smaller than the NTAB-wide
+    tables — and lets ops/tables.synth_fragment_tables build the tables
+    on device as MXU one-hot matmuls.  Replaces the host dgemm that imm
+    runs per frame state at press time (reference
+    src/model/protein_model.c:247-254).
+
+    Returns (margp, qp, inm, inq, trans, B, eps).
+    """
+    B = len(profiles)
+    K = max(p.core_size for p in profiles)
+    if kpad is not None:
+        assert kpad >= K
+        K = kpad
+    Kp, Bp, P = _pad_dims(B, K, group)
+    margp = np.zeros((Bp, Kp, 125), np.float32)
+    qp = np.zeros((Bp, Kp, 5), np.float32)
+    inm = np.zeros((Bp, 2, 125), np.float32)
+    inq = np.zeros((Bp, 2, 5), np.float32)
+    arrs = {
+        name: np.full((Bp, Kp), NEG, np.float32)
+        for name in (
+            "entry", "mm_in", "im_in", "dm_in", "md_in", "dd_in", "mi", "ii"
+        )
+    }
+    for b, p in enumerate(profiles):
+        k = p.core_size
+        # zero probabilities on padding nodes -> log 0 -> NEG on device,
+        # matching the host path's NEG fill
+        margp[b, :k] = np.exp(p.match_marg)
+        qp[b, :k] = np.exp(p.match_q)
+        inm[b, 0] = np.exp(p.insert_marg)
+        inq[b, 0] = np.exp(p.insert_q)
+        inm[b, 1] = np.exp(p.null_marg)
+        inq[b, 1] = np.exp(p.null_q)
+        for name, arr in arrs.items():
+            arr[b, :k] = np.maximum(
+                np.asarray(getattr(p, name), np.float64), NEG
+            )
+    trans = _pack_trans(lambda n: arrs[n], Bp, Kp, group)
+    eps = float(profiles[0].cfg.epsilon)
+    return margp, qp, inm, inq, trans, B, eps
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
-        "n_stream", "semiring",
+        "n_stream", "semiring", "group",
     ),
 )
 def _run(
     femis_m, femis_in, trans, seqinfo, seqlens,
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
-    n_stream: int = 0, semiring: str = "max",
+    n_stream: int = 0, semiring: str = "max", group: int = GROUP,
 ):
     SG, nch = seqinfo.shape[0], seqinfo.shape[1]
     kernel = functools.partial(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
-        n_stream=n_stream, semiring=semiring,
+        n_stream=n_stream, semiring=semiring, group=group,
     )
     grid = (P, SG)
     nres = NTAB if n_stream == 0 else NRES_B
     stream_scratch = (
         [
-            pltpu.VMEM((2, n_stream, nseq, GROUP, K), jnp.float32),
+            pltpu.VMEM((2, n_stream, nseq, group, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2, n_stream, nseq)),
         ]
         if n_stream
         else []
     )
     out_shape = [
-        jax.ShapeDtypeStruct((P, SG, nseq, GROUP), jnp.float32),
-        jax.ShapeDtypeStruct((P, SG, nseq, GROUP), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, nseq, group), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, nseq, group), jnp.float32),
     ]
     alt, null = pl.pallas_call(
         kernel,
@@ -574,30 +626,30 @@ def _run(
             pl.BlockSpec(memory_space=pltpu.HBM),  # seqlens -> SMEM DMA
             pl.BlockSpec(memory_space=pltpu.HBM),  # femis_m -> VMEM DMA
             pl.BlockSpec(
-                (1, NTAB, 2, GROUP), lambda p, s: (p, 0, 0, 0),
+                (1, NTAB, 2, group), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, NPLANES, GROUP, K), lambda p, s: (p, 0, 0, 0),
+                (1, NPLANES, group, K), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, SG, nseq, GROUP), lambda p, s: (p, 0, 0, 0),
+                (1, SG, nseq, group), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, SG, nseq, GROUP), lambda p, s: (p, 0, 0, 0),
+                (1, SG, nseq, group), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nres, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, nseq, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, nseq, GROUP, K), jnp.float32),
-            pltpu.VMEM((5, 8, nseq, GROUP), jnp.float32),
-            pltpu.VMEM((2, nseq, GROUP), jnp.float32),
+            pltpu.VMEM((nres, group, K), jnp.float32),
+            pltpu.VMEM((5, nseq, group, K), jnp.float32),
+            pltpu.VMEM((5, nseq, group, K), jnp.float32),
+            pltpu.VMEM((5, 8, nseq, group), jnp.float32),
+            pltpu.VMEM((2, nseq, group), jnp.float32),
             pltpu.SMEM((2, SEQROWS, nseq * WC // SEQROWS), jnp.int32),
             pltpu.SMEM((SEQROWS, SLPAD), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -669,19 +721,64 @@ class PallasBlock:
     """A profile block packed + resident on device for repeated scans.
 
     ``n_stream`` picks the residency regime (None = by kpad: regime A for
-    kpad <= RESIDENT_MAX_KPAD, else regime B streaming lengths 4-5)."""
+    kpad <= RESIDENT_MAX_KPAD, else regime B streaming lengths 4-5).
+    ``group`` is the sublane row width (16 default; 8 halves the padding
+    cost of huge-core rows)."""
 
-    def __init__(self, block: ProfileBlock, n_stream: int | None = None):
-        femis_m, femis_in, trans, B = pack_block(block)
-        self.femis_m = jnp.asarray(femis_m)
-        self.femis_in = jnp.asarray(femis_in)
-        self.trans = jnp.asarray(trans)
+    def __init__(self, block: ProfileBlock, n_stream: int | None = None,
+                 group: int = GROUP):
+        femis_m, femis_in, trans, B = pack_block(block, group)
+        self._init(
+            jnp.asarray(femis_m), jnp.asarray(femis_in),
+            jnp.asarray(trans), B, group, n_stream,
+        )
+
+    def _init(self, femis_m, femis_in, trans, B, group, n_stream):
+        self.femis_m = femis_m
+        self.femis_in = femis_in
+        self.trans = trans
         self.nprofiles = B
+        self.group = group
         self.kpad = femis_m.shape[-1]
         self.ngroups = femis_m.shape[0]
         if n_stream is None:
             n_stream = 0 if self.kpad <= RESIDENT_MAX_KPAD else 2
         self.n_stream = n_stream
+
+    @classmethod
+    def from_profiles(cls, profiles, kpad: int | None = None,
+                      group: int = GROUP, n_stream: int | None = None):
+        """Build with fragment tables synthesized ON DEVICE (MXU one-hot
+        matmuls over the compact per-node inputs, ops/tables.py) instead
+        of host dgemm + a 10.5x-bigger host->device upload.  The
+        production path for TPU scans; numerics differ from the host
+        f64 tables only by f32 product/sum rounding (~1e-7 relative)."""
+        from deciphon_tpu.ops.tables import synth_fragment_tables
+
+        margp, qp, inm, inq, trans, B, eps = pack_block_compact(
+            profiles, kpad, group
+        )
+        Bp, Kp = margp.shape[0], margp.shape[1]
+        P = Bp // group
+        fm = synth_fragment_tables(
+            jnp.asarray(margp.reshape(-1, 125)),
+            jnp.asarray(qp.reshape(-1, 5)),
+            eps=eps,
+        )
+        femis_m = jnp.transpose(
+            fm.reshape(P, group, Kp, NTAB), (0, 3, 1, 2)
+        )
+        fin = synth_fragment_tables(
+            jnp.asarray(inm.reshape(-1, 125)),
+            jnp.asarray(inq.reshape(-1, 5)),
+            eps=eps,
+        )
+        femis_in = jnp.transpose(
+            fin.reshape(P, group, 2, NTAB), (0, 3, 2, 1)
+        )
+        self = object.__new__(cls)
+        self._init(femis_m, femis_in, jnp.asarray(trans), B, group, n_stream)
+        return self
 
     def scores(
         self,
@@ -704,17 +801,17 @@ class PallasBlock:
             K=self.kpad, P=self.ngroups, nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
-            semiring=semiring,
+            semiring=semiring, group=self.group,
         )
-        # [P, SG, nseq, GROUP] -> [S, B]
+        # [P, SG, nseq, group] -> [S, B]
         P, SG = alt.shape[0], alt.shape[1]
         alt = (
             jnp.transpose(alt, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * GROUP)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P * self.group)[:nseqs, : self.nprofiles]
         )
         null = (
             jnp.transpose(null, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * GROUP)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P * self.group)[:nseqs, : self.nprofiles]
         )
         return alt, null
 

@@ -36,12 +36,14 @@ class ViterbiResult:
 
 def viterbi_null(prof: ProteinProfile, seq_idx: np.ndarray,
                  multi_hits: bool = True, hmmer3_compat: bool = False,
-                 base: int = 4) -> ViterbiResult:
+                 base: int = 4, codes: tuple | None = None) -> ViterbiResult:
     """Null-model Viterbi: R self-loop with cost RR per extra step."""
+    if codes is not None:
+        base = 4 + len(codes)
     L = len(seq_idx)
     xt = special_transitions(L, multi_hits, hmmer3_compat)
     fidx = fragment_indices(seq_idx, base=base)
-    _, _, fnull = prof.fragment_tables(base=base)
+    _, _, fnull = prof.fragment_tables(base=base, codes=codes)
 
     V = np.full(L + 1, NEG)
     bp_len = np.zeros(L + 1, dtype=np.int32)
@@ -67,12 +69,14 @@ def viterbi_null(prof: ProteinProfile, seq_idx: np.ndarray,
 
 def viterbi_alt(prof: ProteinProfile, seq_idx: np.ndarray,
                 multi_hits: bool = True, hmmer3_compat: bool = False,
-                base: int = 4) -> ViterbiResult:
+                base: int = 4, codes: tuple | None = None) -> ViterbiResult:
+    if codes is not None:
+        base = 4 + len(codes)
     K = prof.core_size
     L = len(seq_idx)
     xt = special_transitions(L, multi_hits, hmmer3_compat)
     fidx = fragment_indices(seq_idx, base=base)
-    fm, fi, fn = prof.fragment_tables(base=base)
+    fm, fi, fn = prof.fragment_tables(base=base, codes=codes)
 
     VM = np.full((L + 1, K), NEG)
     VI = np.full((L + 1, K), NEG)
@@ -350,11 +354,13 @@ def _lse(*vals: float) -> float:
 
 def forward_null(prof: ProteinProfile, seq_idx: np.ndarray,
                  multi_hits: bool = True, hmmer3_compat: bool = False,
-                 base: int = 4) -> float:
+                 base: int = 4, codes: tuple | None = None) -> float:
+    if codes is not None:
+        base = 4 + len(codes)
     L = len(seq_idx)
     xt = special_transitions(L, multi_hits, hmmer3_compat)
     fidx = fragment_indices(seq_idx, base=base)
-    _, _, fnull = prof.fragment_tables(base=base)
+    _, _, fnull = prof.fragment_tables(base=base, codes=codes)
     V = np.full(L + 1, NEG)
     for i in range(1, L + 1):
         acc = []
@@ -368,12 +374,14 @@ def forward_null(prof: ProteinProfile, seq_idx: np.ndarray,
 
 def forward_alt(prof: ProteinProfile, seq_idx: np.ndarray,
                 multi_hits: bool = True, hmmer3_compat: bool = False,
-                base: int = 4) -> float:
+                base: int = 4, codes: tuple | None = None) -> float:
+    if codes is not None:
+        base = 4 + len(codes)
     K = prof.core_size
     L = len(seq_idx)
     xt = special_transitions(L, multi_hits, hmmer3_compat)
     fidx = fragment_indices(seq_idx, base=base)
-    fm, fi, fn = prof.fragment_tables(base=base)
+    fm, fi, fn = prof.fragment_tables(base=base, codes=codes)
 
     def lsev(a, axis=0):
         m = np.max(a, axis=axis, keepdims=True)

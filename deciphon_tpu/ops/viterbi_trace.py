@@ -255,6 +255,67 @@ def _walk(ys, L: int, K: int) -> list[tuple[int, int]]:
     return path
 
 
+@functools.partial(
+    jax.jit, static_argnames=("multi_hits", "hmmer3_compat")
+)
+def _trace_scan_batch(block_rows, eidx, seq_len, multi_hits, hmmer3_compat):
+    """vmap of _trace_scan over a stacked hit axis: one device dispatch
+    tracebacks a whole (kpad, length-bucket) group of LRT survivors."""
+
+    def one(row, e, sl):
+        return _trace_scan(row, e, sl, multi_hits, hmmer3_compat)
+
+    return jax.vmap(one)(block_rows, eidx, seq_len)
+
+
+# survivors per traceback dispatch: bounds the [H, L, K] backpointer
+# tensors (2x int32 + bool) to ~hundreds of MB at the worst shapes
+TRACE_BATCH = 128
+
+
+def viterbi_alt_batch(
+    profs: list[ProteinProfile],
+    seqs: list[np.ndarray],
+    multi_hits: bool = True,
+    hmmer3_compat: bool = False,
+    kpad: int | None = None,
+    pad_to: int | None = None,
+    codes: tuple | None = None,
+) -> list[vr.ViterbiResult]:
+    """Batched traceback: one jitted backpointer DP over a stack of
+    (profile, read) hits sharing a (kpad, length-bucket, codes) class,
+    replacing one device dispatch per hit (the round-2 bottleneck at
+    permissive LRT thresholds).  Host walks stay per hit (O(path))."""
+    base = 4 + len(codes) if codes else 4
+    Lp = pad_to or max(len(s) for s in seqs)
+    out: list[vr.ViterbiResult] = []
+    for lo in range(0, len(profs), TRACE_BATCH):
+        chunk_p = profs[lo : lo + TRACE_BATCH]
+        chunk_s = seqs[lo : lo + TRACE_BATCH]
+        block = build_profile_block(chunk_p, kpad=kpad, codes=codes)
+        eidx = np.stack(
+            [
+                end_fragment_indices(
+                    fragment_indices(s, pad_to=Lp, base=base), base=base
+                )
+                for s in chunk_s
+            ]
+        )
+        lens = np.array([len(s) for s in chunk_s], np.int32)
+        alt, _, ys = _trace_scan_batch(
+            tuple(block), jnp.asarray(eidx), jnp.asarray(lens),
+            multi_hits, hmmer3_compat,
+        )
+        ys_host = jax.device_get(ys)
+        alt = np.asarray(alt)
+        K = int(block.fm.shape[1])
+        for h in range(len(chunk_p)):
+            ys_h = {k: v[h] for k, v in ys_host.items()}
+            path = _walk(ys_h, int(lens[h]), K)
+            out.append(vr.ViterbiResult(float(alt[h]), path))
+    return out
+
+
 def viterbi_alt(
     prof: ProteinProfile,
     seq_idx: np.ndarray,
@@ -263,16 +324,20 @@ def viterbi_alt(
     block_row=None,
     pad_to: int | None = None,
     base: int = 4,
+    codes: tuple | None = None,
 ) -> vr.ViterbiResult:
     """Drop-in accelerated replacement for viterbi_ref.viterbi_alt.
 
     Pass a prebuilt single-profile ``block_row`` (tuple(ProfileBlock)) to
     skip re-tensorizing per hit; ``pad_to`` pads the position axis so jit
     caches compile once per length bucket.  ``base=5`` scores
-    IUPAC-N-extended sequences (block_row must be built with base=5).
+    IUPAC-N-extended sequences; ``codes`` scores exact-subset extended
+    sequences (block_row, if given, must be built the same way).
     """
+    if codes is not None:
+        base = 4 + len(codes)
     if block_row is None:
-        block_row = tuple(build_profile_block([prof], base=base))
+        block_row = tuple(build_profile_block([prof], base=base, codes=codes))
     row = tuple(a[0] for a in block_row)
     L = len(seq_idx)
     Lp = pad_to or L

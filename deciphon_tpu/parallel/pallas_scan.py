@@ -48,8 +48,8 @@ class ShardedPallasBlock:
     """
 
     def __init__(self, block: vj.ProfileBlock, mesh: Mesh,
-                 n_stream: int | None = None):
-        femis_m, femis_in, trans, B = vp.pack_block(block)
+                 n_stream: int | None = None, group: int = vp.GROUP):
+        femis_m, femis_in, trans, B = vp.pack_block(block, group)
         self.mesh = mesh
         dp = mesh.shape["profiles"]
         femis_m = _pad_axis0(femis_m, dp, vj.NEG)
@@ -60,6 +60,7 @@ class ShardedPallasBlock:
         self.femis_in = jax.device_put(femis_in, sh)
         self.trans = jax.device_put(trans, sh)
         self.nprofiles = B
+        self.group = group
         self.kpad = femis_m.shape[-1]
         self.ngroups = femis_m.shape[0]
         if n_stream is None:
@@ -83,15 +84,16 @@ class ShardedPallasBlock:
             K=self.kpad, nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
+            group=self.group,
         )
         P_, SG = alt.shape[0], alt.shape[1]
         alt = (
             jnp.transpose(alt, (1, 2, 0, 3))
-            .reshape(SG * nseq, P_ * vp.GROUP)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P_ * self.group)[:nseqs, : self.nprofiles]
         )
         null = (
             jnp.transpose(null, (1, 2, 0, 3))
-            .reshape(SG * nseq, P_ * vp.GROUP)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P_ * self.group)[:nseqs, : self.nprofiles]
         )
         return alt, null
 
@@ -100,17 +102,18 @@ class ShardedPallasBlock:
     jax.jit,
     static_argnames=(
         "mesh", "K", "nseq", "multi_hits", "hmmer3_compat", "interpret",
-        "n_stream",
+        "n_stream", "group",
     ),
 )
 def _run_sharded(mesh, femis_m, femis_in, trans, seqinfo, seqlens, *,
-                 K, nseq, multi_hits, hmmer3_compat, interpret, n_stream):
+                 K, nseq, multi_hits, hmmer3_compat, interpret, n_stream,
+                 group=vp.GROUP):
     def local(fm, fin, tr, si, sl):
         return vp._run(
             fm, fin, tr, si, sl,
             K=K, P=fm.shape[0], nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
-            interpret=interpret, n_stream=n_stream,
+            interpret=interpret, n_stream=n_stream, group=group,
         )
 
     fn = jax.shard_map(
@@ -124,24 +127,12 @@ def _run_sharded(mesh, femis_m, femis_in, trans, seqinfo, seqlens, *,
     return fn(femis_m, femis_in, trans, seqinfo, seqlens)
 
 
-def sharded_viterbi_scores(
-    mesh: Mesh,
-    block: vj.ProfileBlock,  # host (numpy) block
-    eidx: np.ndarray,
-    seq_len: np.ndarray,
-    multi_hits: bool = True,
-    hmmer3_compat: bool = False,
-):
-    """XLA-engine scan step under shard_map: full (alt, null) matrices.
-
-    Fallback path for blocks outside the Pallas envelope; pads the
-    profile axis to the 'profiles' mesh size and the sequence axis to
-    'seqs', then slices the padding back off.  Returns device arrays
-    [S, B]."""
+def put_sharded_block(mesh: Mesh, block: vj.ProfileBlock) -> tuple:
+    """Pad the profile axis to the 'profiles' mesh size and device_put a
+    host ProfileBlock sharded over it (upload once, reuse across scan
+    batches — the tensor analogue of the reference's profiles staying
+    open per thread, src/db/profile_reader.c:14-23)."""
     dp = mesh.shape["profiles"]
-    ds = mesh.shape["seqs"]
-    B = block.fm.shape[0]
-    S = eidx.shape[0]
     padded = vj.ProfileBlock(
         *(
             _pad_axis0(np.asarray(a),
@@ -150,11 +141,34 @@ def sharded_viterbi_scores(
             for a in block
         )
     )
+    psh = NamedSharding(mesh, P("profiles"))
+    return tuple(jax.device_put(a, psh) for a in padded)
+
+
+def sharded_viterbi_scores(
+    mesh: Mesh,
+    block: vj.ProfileBlock,  # host (numpy) block
+    eidx: np.ndarray,
+    seq_len: np.ndarray,
+    multi_hits: bool = True,
+    hmmer3_compat: bool = False,
+    dev_block: tuple | None = None,
+):
+    """XLA-engine scan step under shard_map: full (alt, null) matrices.
+
+    Fallback path for blocks outside the Pallas envelope; pads the
+    profile axis to the 'profiles' mesh size and the sequence axis to
+    'seqs', then slices the padding back off.  Pass ``dev_block`` (from
+    ``put_sharded_block``) to reuse an already-uploaded block across
+    batches.  Returns device arrays [S, B]."""
+    ds = mesh.shape["seqs"]
+    B = block.fm.shape[0]
+    S = eidx.shape[0]
+    if dev_block is None:
+        dev_block = put_sharded_block(mesh, block)
     eidx_p = _pad_axis0(np.asarray(eidx, np.int32), ds, 0)
     slen_p = _pad_axis0(np.asarray(seq_len, np.int32), ds, 1)
-    psh = NamedSharding(mesh, P("profiles"))
     ssh = NamedSharding(mesh, P("seqs"))
-    dev_block = tuple(jax.device_put(a, psh) for a in padded)
     deidx = jax.device_put(eidx_p, ssh)
     dslen = jax.device_put(slen_p, ssh)
     alt, null = _xla_sharded(

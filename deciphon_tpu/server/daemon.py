@@ -187,37 +187,58 @@ class Server:
         )
         engine = self._engine(path, db_meta.xxh3, params)
         db = engine.db
-        # count first (the reference's O(nseqs) count loop, scan.c:170 ->
-        # api.c:470-485), then STREAM the reads in bounded batches so a
-        # multi-GB read set never lives in host memory at once
-        # (scan.c:227-258 streams one read at a time; batches keep the
-        # device fed).
-        nseqs = self.api.scan_num_seqs(scan.id)
-        total = nseqs * db.nprofiles
-        log.info("%d tasks to run", total)
-        progress = Progress(
-            total,
-            callback=lambda inc: self.api.increment_job_progress(job.id, inc),
-        )
-        engine.progress = progress
+        # Single scheduler pass: the reads stream once into a local spool
+        # file (counting as they go), then scan in bounded batches from
+        # the spool — the reference instead walks the cursor TWICE, once
+        # to count (scan.c:170 -> api.c:470-485) and once per sequence
+        # (scan.c:227), doubling scheduler traffic.  The spool keeps the
+        # multi-GB-read-set memory envelope on disk, not in RAM.
         batch_size = int(os.environ.get("DCP_SCAN_BATCH", 1024))
-        writer = ProdWriter(scan_id=scan.id)
-        batch: list[SeqRecord] = []
+        nseqs = 0
+        max_len = 1
+        import json as _json
 
-        def flush(batch):
-            for h in engine.scan(batch):
-                writer.add(
-                    h.seq_id, h.accession, h.alt_loglik, h.null_loglik,
-                    h.match,
+        with tempfile.NamedTemporaryFile(
+            "w+", suffix=".seqs", delete=True
+        ) as spool:
+            for s in self.api.iter_scan_seqs(scan.id):
+                spool.write(
+                    _json.dumps(
+                        {"id": s.id, "name": s.name, "data": s.data}
+                    )
+                    + "\n"
                 )
+                nseqs += 1
+                max_len = max(max_len, len(s.data))
+            total = nseqs * db.nprofiles
+            log.info("%d tasks to run", total)
+            progress = Progress(
+                total,
+                callback=lambda inc: self.api.increment_job_progress(
+                    job.id, inc
+                ),
+            )
+            engine.progress = progress
+            engine.warmup(min(nseqs, batch_size), max_len)
+            writer = ProdWriter(scan_id=scan.id)
+            batch: list[SeqRecord] = []
 
-        for s in self.api.iter_scan_seqs(scan.id):
-            batch.append(SeqRecord(s.id, s.name, s.data))
-            if len(batch) >= batch_size:
+            def flush(batch):
+                for h in engine.scan(batch):
+                    writer.add(
+                        h.seq_id, h.accession, h.alt_loglik, h.null_loglik,
+                        h.match,
+                    )
+
+            spool.seek(0)
+            for line in spool:
+                s = _json.loads(line)
+                batch.append(SeqRecord(s["id"], s["name"], s["data"]))
+                if len(batch) >= batch_size:
+                    flush(batch)
+                    batch = []
+            if batch:
                 flush(batch)
-                batch = []
-        if batch:
-            flush(batch)
         progress.finish()
         with tempfile.NamedTemporaryFile(
             "w", suffix=".tsv", delete=False

@@ -1,0 +1,53 @@
+"""CLI surface: press/scan/info/parity on synthetic assets."""
+
+import os
+
+import numpy as np
+
+from deciphon_tpu.cli.main import main
+from deciphon_tpu.models.h3writer import random_h3, write_h3
+
+
+def _synth_hmm(path, cores=(4, 6)):
+    with open(path, "w") as fp:
+        write_h3(fp, [random_h3(s + 1, k, peak=0.9) for s, k in
+                      enumerate(cores)])
+
+
+def test_cli_press_scan_info(tmp_path, capsys):
+    hmm = tmp_path / "s.hmm"
+    _synth_hmm(str(hmm))
+    dtp = tmp_path / "s.dtp"
+    assert main(["press", str(hmm), "-o", str(dtp)]) == 0
+    # consensus read of profile 0 -> guaranteed hit
+    from deciphon_tpu.db.format import TensorDB
+    from deciphon_tpu.models.alphabet import STANDARD_CODE
+
+    db = TensorDB.load(str(dtp))
+    prof = db.profile(0)
+    read = "".join(
+        STANDARD_CODE.codon_str(b // 16, (b // 4) % 4, b % 4)
+        for b in np.argmax(prof.match_codonp, axis=1)
+    )
+    fasta = tmp_path / "r.fa"
+    fasta.write_text(f">r1\n{read}\n")
+    out = tmp_path / "prods.tsv"
+    assert main(
+        ["scan", str(dtp), str(fasta), "-o", str(out), "--batch-size", "2"]
+    ) == 0
+    text = out.read_text()
+    assert prof.accession in text
+    assert main(["info", str(dtp)]) == 0
+    capsys.readouterr()
+
+
+def test_cli_parity_synthetic(tmp_path, capsys):
+    """parity on a non-asset .hmm: full flow, golden checks skipped."""
+    hmm = tmp_path / "p.hmm"
+    _synth_hmm(str(hmm), cores=(5,))
+    out = tmp_path / "par.tsv"
+    assert main(["parity", str(hmm), "-o", str(out)]) == 0
+    assert "PARITY OK" in capsys.readouterr().out
+    assert os.path.exists(out)
+    # strict mode refuses unknown assets
+    assert main(["parity", str(hmm), "--strict", "-o", str(out)]) == 1

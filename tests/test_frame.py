@@ -121,3 +121,90 @@ def test_fragment_matrix_matches_term_loop():
             a = frame.fragment_table(lmarg, lq, eps)
             b = frame.fragment_table_terms(lmarg, lq, eps)
             np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Extended (partially-degenerate IUPAC) tables
+# ---------------------------------------------------------------------------
+
+
+def test_ext_codes_n_equals_base5(dists):
+    """codes=('N',) extended tables must equal the base-5 N tables."""
+    codonp, q, M = dists[0]
+    t5 = frame.fragment_table(M, q, 0.01, base=5)
+    te = frame.fragment_table_codes(codonp, q, 0.01, ("N",))
+    np.testing.assert_allclose(te, t5, atol=1e-12)
+
+
+@pytest.mark.parametrize("code", ["R", "Y", "S", "W", "K", "M", "B", "H"])
+def test_ext_code_is_exact_subset_sum(dists, code):
+    """A fragment with a degenerate symbol scores as the exact sum of
+    the fragment probability over the symbol's nucleotide subset."""
+    codonp, q, M = dists[1]
+    eps = 0.05
+    codes = (code,)
+    te = frame.fragment_table_codes(codonp, q, eps, codes)
+    t4 = frame.fragment_table(M, q, eps, base=4)
+    subset = frame.IUPAC_SUBSETS[code]
+    rng = np.random.default_rng(3)
+    for length in (1, 2, 3, 4, 5):
+        for _ in range(4):
+            frag = rng.integers(0, 4, length)
+            pos = int(rng.integers(0, length))
+            frag_amb = frag.copy()
+            frag_amb[pos] = 4  # the code symbol
+            want = 0.0
+            for b in subset:
+                f = frag.copy()
+                f[pos] = b
+                want += np.exp(t4[frame.frag_index(f, base=4)])
+            got = np.exp(te[frame.frag_index(frag_amb, base=5)])
+            np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_ext_two_codes_layout(dists):
+    """Two distinct codes in one batch: base-6 layout, each exact."""
+    codonp, q, M = dists[2]
+    eps = 0.01
+    codes = ("N", "R")  # sorted order as encode_extended produces
+    te = frame.fragment_table_codes(codonp, q, eps, codes)
+    t4 = frame.fragment_table(M, q, eps, base=4)
+    assert te.shape[-1] == frame.frag_layout(6)[1] + 1
+    # fragment (R, N, A) of length 3 = sum over R's subset x all 4
+    want = 0.0
+    for r in frame.IUPAC_SUBSETS["R"]:
+        for n in range(4):
+            want += np.exp(t4[frame.frag_index(np.array([r, n, 0]))])
+    got = np.exp(te[frame.frag_index(np.array([5, 4, 0]), base=6)])
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_loglik_given_codon_subset_consistency(dists):
+    """Conditional x prior marginalization still matches the extended
+    marginal table when the fragment holds a degenerate code."""
+    codonp, q, M = dists[0]
+    eps = 0.05
+    codes = ("Y",)
+    te = frame.fragment_table_codes(codonp, q, eps, codes)
+    frag = np.array([2, 4, 1])  # G, Y, C
+    cond = frame.loglik_given_codon(frag, q, eps, codes)
+    marg = np.log(np.sum(np.exp(np.asarray(codonp) + cond)))
+    np.testing.assert_allclose(
+        marg, te[frame.frag_index(frag, base=5)], rtol=1e-10
+    )
+
+
+def test_encode_extended():
+    from deciphon_tpu.models.alphabet import encode_extended
+
+    enc, codes = encode_extended("ACGTU")
+    assert codes == ()
+    assert enc.tolist() == [0, 1, 2, 3, 3]
+    enc, codes = encode_extended("ANRX")
+    assert codes == ("N", "R")
+    assert enc.tolist() == [0, 4, 5, 4]  # X folds into N
+    enc, codes = encode_extended("yA")
+    assert codes == ("Y",)
+    assert enc.tolist() == [4, 0]
+    with pytest.raises(ValueError):
+        encode_extended("AZ")

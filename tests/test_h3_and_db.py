@@ -132,3 +132,29 @@ def test_buckets():
     assert set(b) == {8, 128, 384}
     assert b[8].tolist() == [0, 1]
     assert b[128].tolist() == [2, 3]
+
+
+def test_pack_profile_rows():
+    from deciphon_tpu.db.partition import pack_profile_rows
+
+    cores = np.array([19, 300, 150, 4096, 128, 90, 2048, 40])
+    blocks = pack_profile_rows(cores, group=2, small_group_kpad=1024,
+                               small_group=1)
+    # every index exactly once
+    all_idx = np.concatenate([idx for _, _, idx in blocks])
+    assert sorted(all_idx.tolist()) == list(range(len(cores)))
+    # kpads non-increasing, rows sorted by core desc within blocks
+    kpads = [k for k, _, _ in blocks]
+    assert kpads == sorted(kpads, reverse=True)
+    # the two huge profiles get solo (small_group=1) rows
+    assert blocks[0] == (4096, 1, blocks[0][2])
+    assert cores[blocks[0][2]].tolist() == [4096]
+    assert blocks[1][0] == 2048
+    # remaining rows of 2: [300,150] -> 384, [128,90] -> 128, [40,19] -> 128
+    rest = {(k, tuple(cores[i].tolist())) for k, g, i in blocks[2:]}
+    assert (384, (300, 150)) in rest
+    # kpad is the lane-rounded max of each row
+    for k, g, idx in blocks:
+        for j in range(0, len(idx), g):
+            row = cores[idx[j : j + g]]
+            assert k == max(128, -(-int(row.max()) // 128) * 128)

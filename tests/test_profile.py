@@ -91,6 +91,37 @@ def test_builder_validation():
         b.finalize()
 
 
+def test_envelope_limits():
+    """Reference limits.h envelope -> clear EINVAL, not a deep shape error."""
+    from deciphon_tpu.utils.limits import (
+        CORE_SIZE_MAX, MAX_NPROFILES, NUM_PARTITIONS_MAX,
+    )
+
+    b = ProteinModelBuilder()
+    b.setup(CORE_SIZE_MAX)  # boundary ok
+    with pytest.raises(DcpError):
+        b.setup(CORE_SIZE_MAX + 1)
+
+    import deciphon_tpu.utils.limits as limits
+    from deciphon_tpu.db.format import write_db
+    from deciphon_tpu.models.profile import sample_profile
+
+    assert MAX_NPROFILES == 1 << 20  # reference core/limits.h:7
+    orig = limits.MAX_NPROFILES
+    limits.MAX_NPROFILES = 2  # shrink so the gate is testable
+    try:
+        p = sample_profile(1, 2)
+        with pytest.raises(DcpError):
+            write_db("/dev/null", iter([p, p, p]))
+    finally:
+        limits.MAX_NPROFILES = orig
+
+    from deciphon_tpu.db.partition import balanced_partitions
+
+    parts = balanced_partitions(np.ones(1000), 1000)
+    assert len(parts) == NUM_PARTITIONS_MAX
+
+
 def test_state_ids_and_names():
     assert st.name(st.match_id(0)) == "M1"
     assert st.name(st.insert_id(26)) == "I27"

@@ -49,10 +49,13 @@ def test_pad_seq_len():
     assert pad_seq_len(5) == 255
     assert pad_seq_len(255) == 255
     assert pad_seq_len(256) == 510
-    assert pad_seq_len(1100) == 1275
+    # power-of-two chunk tiers bound compile variants
+    assert pad_seq_len(511) == 1020
+    assert pad_seq_len(1100) == 2040
     for L in range(1, 4000, 7):
         p = pad_seq_len(L)
-        assert p >= L and p % 255 == 0 and p - L < 255 + 255
+        # power-of-two tier: padded to < 2x the needed chunk count
+        assert p >= L and p % 255 == 0 and p < 2 * (L + 255)
 
 
 def test_scan_finds_planted_hit(db):
@@ -243,3 +246,54 @@ def test_long_read_scan(db):
                      pallas_interpret=True)
     hits = eng.scan([SeqRecord(1, "long", long_read)])
     assert any(h.profile_idx == 2 for h in hits)
+
+
+def test_scan_partial_iupac_codes_exact(db):
+    """Partially-degenerate codes (R/Y/...) score as EXACT nucleotide-
+    subset marginals, not the N superset: the engine routes each code
+    set through extended base-(4+D) tables and matches the oracle."""
+    from deciphon_tpu.models.alphabet import encode_extended
+
+    target = db.profile(2)
+    read = consensus_dna(target)
+    code = {"A": "R", "G": "R", "C": "Y", "T": "Y"}[read[6]]
+    noisy = read[:6] + code + read[7:]
+    eng = ScanEngine(db, ScanParams(lrt_threshold=10.0))
+    hits = eng.scan(
+        [
+            SeqRecord(1, "r", noisy),
+            SeqRecord(2, "n", read[:6] + "N" + read[7:]),
+            SeqRecord(3, "c", read),
+        ]
+    )
+    h = {h.seq_id: h for h in hits if h.profile_idx == 2}
+    assert set(h) == {1, 2, 3}
+    enc, codes = encode_extended(noisy)
+    assert codes == (code,)
+    ora = vr.viterbi_alt(target, enc, codes=codes)
+    orn = vr.viterbi_null(target, enc, codes=codes)
+    assert h[1].alt_loglik == pytest.approx(ora.loglik, abs=1e-3)
+    assert h[1].null_loglik == pytest.approx(orn.loglik, abs=1e-3)
+    assert h[1].path == ora.path
+    # subset monotonicity: P(concrete) <= P(code subset) <= P(N)
+    assert h[3].alt_loglik <= h[1].alt_loglik + 1e-3
+    assert h[1].alt_loglik <= h[2].alt_loglik + 1e-3
+    # the R read genuinely differs from its N collapse (exactness)
+    assert abs(h[1].alt_loglik - h[2].alt_loglik) > 1e-4
+
+
+def test_scan_mixed_codes_one_read(db):
+    """A read holding two distinct codes classes as base-6 and scans."""
+    target = db.profile(2)
+    read = consensus_dna(target)
+    noisy = read[:3] + "N" + read[4:9] + "R" + read[10:]
+    eng = ScanEngine(db, ScanParams(lrt_threshold=10.0))
+    hits = eng.scan([SeqRecord(1, "r", noisy)])
+    assert any(h.profile_idx == 2 for h in hits)
+    from deciphon_tpu.models.alphabet import encode_extended
+
+    enc, codes = encode_extended(noisy)
+    assert codes == ("N", "R")
+    h = next(h for h in hits if h.profile_idx == 2)
+    ora = vr.viterbi_alt(target, enc, codes=codes)
+    assert h.alt_loglik == pytest.approx(ora.loglik, abs=1e-3)

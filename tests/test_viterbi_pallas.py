@@ -56,6 +56,25 @@ def test_interpret_flags_variant(setup):
     np.testing.assert_allclose(null, np.asarray(ref_null), atol=1e-5)
 
 
+def test_group8_matches_jax_engine(setup):
+    """Half-width (group=8) profile rows score identically — the packing
+    used for huge-core rows (db/partition.pack_profile_rows)."""
+    block, eidx, slen, (ref_alt, ref_null) = setup
+    pb = vp.PallasBlock(block, group=8)
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen)
+    import jax.numpy as jnp
+
+    alt, null = pb.scores(
+        jnp.asarray(seqinfo), jnp.asarray(seqlens), S, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(alt), np.asarray(ref_alt), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(null), np.asarray(ref_null), atol=1e-5
+    )
+
+
 def test_pack_block_layout(setup):
     block, _, _, _ = setup
     femis_m, femis_in, trans, B = vp.pack_block(block)
