@@ -71,6 +71,18 @@ class Hit:
     match: str
 
 
+@dataclass
+class BestHit:
+    """Per-read best profile, from the device-side reduction path."""
+
+    seq_id: int
+    profile_idx: int
+    accession: str
+    alt_loglik: float
+    null_loglik: float
+    lrt: float
+
+
 class _Block:
     """One kernel dispatch unit: profiles sharing (kpad, group width).
 
@@ -305,7 +317,59 @@ class ScanEngine:
         with trace.device_trace("scan"):
             return self._scan(seqs)
 
+    def best_hits(self, seqs: Sequence[SeqRecord]) -> list[BestHit]:
+        """Per-read best profile via DEVICE-SIDE reduction: each block's
+        [S, B] score matrices reduce to [S] (argmax over the profile
+        axis) before leaving the device, so the host transfer shrinks by
+        the DB width; on a mesh the reduction crosses profile shards as
+        an XLA collective (the production form of the round-2 demo's
+        pmax merge, parallel/sharded_scan.py).  No traceback — use
+        ``scan`` for products."""
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def block_best(alt, null):
+            lrt = -2.0 * (null - alt)
+            lrt = jnp.where(alt > vj.NEG / 2, lrt, -jnp.inf)
+            bi = jnp.argmax(lrt, axis=1)
+            rows = jnp.arange(alt.shape[0])
+            return bi, lrt[rows, bi], alt[rows, bi], null[rows, bi]
+
+        with trace.device_trace("best_hits"):
+            encoded, pending = self._queue_dispatches(seqs)
+            reduced = [
+                (seq_ids, blk, block_best(alt, null))
+                for seq_ids, blk, _, alt, null in pending
+            ]
+        self._finish_scan()
+        best: dict[int, BestHit] = {}
+        for seq_ids, blk, (bi, lrt, alt, null) in reduced:
+            bi = np.asarray(bi)
+            lrt = np.asarray(lrt)
+            alt = np.asarray(alt)
+            null = np.asarray(null)
+            for i, si in enumerate(seq_ids):
+                if not np.isfinite(lrt[i]):
+                    continue
+                cur = best.get(si)
+                if cur is None or lrt[i] > cur.lrt:
+                    gi = int(blk.chunk[int(bi[i])])
+                    best[si] = BestHit(
+                        seq_id=seqs[si].seq_id,
+                        profile_idx=gi,
+                        accession=self.db.profile(gi).accession,
+                        alt_loglik=float(alt[i]),
+                        null_loglik=float(null[i]),
+                        lrt=float(lrt[i]),
+                    )
+        return [best[si] for si in sorted(best)]
+
     def _scan(self, seqs: Sequence[SeqRecord]) -> list[Hit]:
+        encoded, pending = self._queue_dispatches(seqs)
+        return self._gate_and_traceback(seqs, encoded, pending)
+
+    def _queue_dispatches(self, seqs: Sequence[SeqRecord]):
         # Split reads into classes by their set of IUPAC ambiguity codes:
         # pure-ACGT reads take the Pallas fast path; each distinct code
         # set scores on the XLA engine over EXACT base-(4+D) subset
@@ -410,9 +474,28 @@ class ScanEngine:
                         hmmer3_compat=p.hmmer3_compat,
                     )
                 pending.append((seq_ids, blk, codes, alt, null))
+        self._counters = counters
+        self._used_iupac = used_iupac
+        return encoded, pending
 
-        # single host-sync pass: LRT gate + pass-2 traceback of survivors
-        hits: list[Hit] = []
+    def _finish_scan(self) -> None:
+        """Post-sync bookkeeping shared by scan/best_hits."""
+        if self._used_iupac:
+            # extended tables are ~3x the base-4 footprint; drop them so
+            # a single ambiguous read doesn't pin the whole DB twice
+            for blk in self._blocks:
+                blk.iupac_host = None
+                blk.iupac_dev = None
+        self._counters.report()
+
+    def _gate_and_traceback(
+        self, seqs: Sequence[SeqRecord], encoded: list, pending: list
+    ) -> list[Hit]:
+        p = self.params
+        # single host-sync pass: LRT gate, then pass-2 traceback of the
+        # survivors batched by (kpad, length-bucket, codes) — one jitted
+        # backpointer dispatch per group instead of one per hit
+        survivors: list[tuple] = []
         for seq_ids, blk, codes, alt, null in pending:
             alt = np.asarray(alt, dtype=np.float64)
             null = np.asarray(null, dtype=np.float64)
@@ -424,53 +507,71 @@ class ScanEngine:
             for si_local, bi in np.argwhere(ok):
                 si = seq_ids[int(si_local)]
                 gi = int(blk.chunk[int(bi)])
-                hits.append(
-                    self._traceback(
-                        seqs[si], si, encoded[si], codes, gi,
+                survivors.append(
+                    (
+                        si, gi, codes,
                         float(alt[si_local, bi]),
                         float(null[si_local, bi]),
                         float(lrt[si_local, bi]),
                     )
                 )
-        if used_iupac:
-            # base-5 tables are ~3x the base-4 footprint; drop them so a
-            # single ambiguous read doesn't pin the whole DB twice
-            for blk in self._blocks:
-                blk.iupac_host = None
-                blk.iupac_dev = None
-        counters.report()
+        hits = self._traceback_all(seqs, encoded, survivors)
+        self._finish_scan()
         hits.sort(key=lambda h: (h.seq_idx, h.profile_idx))
         return hits
 
-    def _traceback(
-        self, rec: SeqRecord, si: int, enc: np.ndarray, codes: tuple,
-        profile_idx: int, alt: float, null: float, lrt: float,
-    ) -> Hit:
-        prof = self.db.profile(profile_idx)
-        if self.traceback == "oracle":
-            res = vr.viterbi_alt(
-                prof, enc,
-                multi_hits=self.params.multi_hits,
-                hmmer3_compat=self.params.hmmer3_compat,
-                codes=codes,
-            )
-        else:
-            from deciphon_tpu.ops import viterbi_trace as vtr
+    def _traceback_all(
+        self, seqs: Sequence[SeqRecord], encoded: list, survivors: list
+    ) -> list[Hit]:
+        """Pass-2 traceback of all LRT survivors.
 
-            # pad nodes to the bucket and positions to the length bucket
-            # so jit compiles once per (kpad, length-bucket) pair
-            res = vtr.viterbi_alt(
-                prof, enc,
+        Default path batches survivors by (kpad, length-bucket, codes)
+        and runs ONE jitted backpointer DP per group (the reference
+        tracebacks per hit, scan_thread.c:125-129 — fine at production
+        thresholds, serial at permissive ones)."""
+        hits: list[Hit] = []
+        if self.traceback == "oracle":
+            for si, gi, codes, alt, null, lrt in survivors:
+                prof = self.db.profile(gi)
+                res = vr.viterbi_alt(
+                    prof, encoded[si],
+                    multi_hits=self.params.multi_hits,
+                    hmmer3_compat=self.params.hmmer3_compat,
+                    codes=codes,
+                )
+                hits.append(
+                    self._hit(seqs[si], si, gi, prof, alt, null, lrt, res)
+                )
+            return hits
+        from deciphon_tpu.ops import viterbi_trace as vtr
+
+        groups: dict[tuple, list] = {}
+        for item in survivors:
+            si, gi = item[0], item[1]
+            key = (
+                self._kpad_of[gi],
+                pad_seq_len(len(encoded[si])),
+                item[2],
+            )
+            groups.setdefault(key, []).append(item)
+        for (kpad, Lp, codes), items in groups.items():
+            profs = [self.db.profile(gi) for _, gi, *_ in items]
+            results = vtr.viterbi_alt_batch(
+                profs,
+                [encoded[si] for si, *_ in items],
                 multi_hits=self.params.multi_hits,
                 hmmer3_compat=self.params.hmmer3_compat,
-                block_row=tuple(
-                    vj.build_profile_block(
-                        [prof], kpad=self._kpad_of[profile_idx], codes=codes
-                    )
-                ),
-                pad_to=pad_seq_len(len(enc)),
-                codes=codes,
+                kpad=kpad, pad_to=Lp, codes=codes,
             )
+            for (si, gi, _, alt, null, lrt), prof, res in zip(
+                items, profs, results
+            ):
+                hits.append(
+                    self._hit(seqs[si], si, gi, prof, alt, null, lrt, res)
+                )
+        return hits
+
+    def _hit(self, rec, si, profile_idx, prof, alt, null, lrt, res) -> Hit:
         match = codec.render_match(codec.match_steps(prof, rec.data, res.path))
         return Hit(
             seq_id=rec.seq_id,

@@ -297,3 +297,54 @@ def test_scan_mixed_codes_one_read(db):
     h = next(h for h in hits if h.profile_idx == 2)
     ora = vr.viterbi_alt(target, enc, codes=codes)
     assert h.alt_loglik == pytest.approx(ora.loglik, abs=1e-3)
+
+
+def test_batched_traceback_matches_per_hit(db):
+    """All-pairs traceback (permissive threshold) through the batched
+    backpointer DP is IDENTICAL to the per-hit jitted DP, and scores
+    match the f64 oracle (paths may differ from the oracle only on
+    f32-vs-f64 ties between genuinely distinct candidates — the
+    documented viterbi_trace tolerance)."""
+    from deciphon_tpu.models.alphabet import DNA
+    from deciphon_tpu.ops import viterbi_trace as vtr
+    from deciphon_tpu.ops.scan_engine import pad_seq_len
+
+    seqs = [
+        SeqRecord(1, "a", consensus_dna(db.profile(2))),
+        SeqRecord(2, "b", consensus_dna(db.profile(0))),
+        SeqRecord(3, "c", "ACGTACGTACGTACGTACGT"),
+    ]
+    fast = ScanEngine(db, ScanParams(lrt_threshold=-1e9)).scan(seqs)
+    slow = ScanEngine(
+        db, ScanParams(lrt_threshold=-1e9), traceback="oracle"
+    ).scan(seqs)
+    assert len(fast) == len(slow) == len(seqs) * db.nprofiles
+    for f, s in zip(fast, slow):
+        assert (f.seq_idx, f.profile_idx) == (s.seq_idx, s.profile_idx)
+        assert f.alt_loglik == pytest.approx(s.alt_loglik, abs=1e-4)
+        enc = DNA.encode(seqs[f.seq_idx].data)
+        per = vtr.viterbi_alt(
+            db.profile(f.profile_idx), enc,
+            pad_to=pad_seq_len(len(enc)),
+        )
+        assert f.path == per.path
+        assert sum(l for _, l in f.path) == len(enc)
+
+
+def test_best_hits_device_reduction(db):
+    """best_hits reduces each block's score matrix to per-read argmax ON
+    DEVICE and agrees with the full scan's top hit per read."""
+    seqs = [
+        SeqRecord(1, "a", consensus_dna(db.profile(2))),
+        SeqRecord(2, "b", consensus_dna(db.profile(0))),
+    ]
+    eng = ScanEngine(db, ScanParams(lrt_threshold=-1e9))
+    full = eng.scan(seqs)
+    best = eng.best_hits(seqs)
+    assert len(best) == 2
+    for b in best:
+        mine = [h for h in full if h.seq_id == b.seq_id]
+        top = max(mine, key=lambda h: h.lrt)
+        assert b.profile_idx == top.profile_idx
+        assert b.lrt == pytest.approx(top.lrt, abs=1e-4)
+    assert best[0].profile_idx == 2 and best[1].profile_idx == 0
