@@ -208,3 +208,28 @@ def test_encode_extended():
     assert enc.tolist() == [4, 0]
     with pytest.raises(ValueError):
         encode_extended("AZ")
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.01, 0.1, 0.33])
+def test_conditional_marginal_random_audit(eps):
+    """Random-distribution audit (docs/FRAME_MODEL.md): fragment_table
+    and loglik_given_codon agree as marginal/conditional of one joint
+    for arbitrary independent p (codon) and q (background), across eps —
+    including eps=0 (exact-codon degeneracy)."""
+    rng = np.random.default_rng(int(eps * 1000) + 7)
+    for _ in range(3):
+        codonp = np.log(rng.dirichlet(np.ones(64)))
+        # q independent of the codon distribution (adversarial)
+        q = frame.q5_pad(np.log(rng.dirichlet(np.ones(4))))
+        M = frame.codon_marg(codonp)
+        with np.errstate(divide="ignore"):
+            F = frame.fragment_table(M, q, eps)
+        for _ in range(8):
+            ln = int(rng.integers(1, 6))
+            fr = rng.integers(0, 4, ln)
+            with np.errstate(divide="ignore"):
+                direct = np.exp(F[frame.frag_index(fr)])
+                via = np.exp(
+                    codonp + frame.loglik_given_codon(fr, q, eps)
+                ).sum()
+            assert np.isclose(direct, via, rtol=1e-10, atol=1e-300)
