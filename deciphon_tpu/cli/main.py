@@ -81,10 +81,16 @@ def cmd_scan(args) -> int:
     writer = ProdWriter(scan_id=0)
     nhits = 0
     nseqs = 0
+    warmed = False
     batch: list[SeqRecord] = []
 
     def flush(batch):
-        nonlocal nhits
+        nonlocal nhits, warmed
+        if not warmed:
+            # parallel-compile all kernel variants + build device tables
+            # before the first dispatch (otherwise compiles serialize)
+            engine.warmup(len(batch), max(len(r.data) for r in batch))
+            warmed = True
         for h in engine.scan(batch):
             writer.add(
                 h.seq_id, h.accession, h.alt_loglik, h.null_loglik, h.match

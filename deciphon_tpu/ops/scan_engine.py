@@ -250,59 +250,57 @@ class ScanEngine:
         )
 
     def warmup(self, nseqs: int, max_len: int, workers: int = 8) -> float:
-        """AOT-compile (in parallel threads) every Pallas kernel variant a
-        scan of ``nseqs`` reads up to ``max_len`` nt will need.
+        """Warm the FULL per-block scan path a scan of ``nseqs`` reads up
+        to ``max_len`` nt will take: device table synthesis, the Pallas
+        kernel variant, the eager output epilogue (transpose / reshape /
+        slice), and the device->host result pull.
 
-        XLA compilation releases the GIL, so the per-tier compiles —
-        tens of seconds each at large kpad — overlap; combined with the
-        persistent compile cache (utils/jaxcache.py) this replaces the
-        serial compile-on-first-scan stall.  Returns seconds spent."""
+        Each block's ``scores()`` is EXECUTED once on zero-filled dummy
+        sequence arrays of the exact production shapes and the results
+        are pulled to host — this populates the jit cache AND the
+        per-shape eager-op executables (AOT ``.lower().compile()`` of the
+        kernel alone left the first real scan recompiling the kernels
+        serially, and warming ``_run`` alone still left ~30-50 s per
+        block of first-call epilogue compiles over the device relay —
+        the round-2/3 cold-start sink).  XLA compilation releases the
+        GIL, so per-block warms overlap across the thread pool.  Returns
+        seconds spent."""
         import time
 
         if not self.use_pallas or self.mesh is not None:
             return 0.0
         import concurrent.futures as cf
 
-        import jax
+        import jax.numpy as jnp
         from deciphon_tpu.ops import viterbi_pallas as vp
 
         t0 = time.perf_counter()
         Lp = pad_seq_len(max_len)
         nch = Lp // vp.CPOS
-        variants = {}
-        for blk in self._blocks:
-            if blk.kpad > PALLAS_MAX_KPAD:
-                continue
-            P = (len(blk.chunk) + blk.group - 1) // blk.group
-            nseq = vp.pick_nseq(nseqs, vp.nseq_cap(blk.kpad, blk.group))
-            n_stream = 0 if blk.kpad <= vp.RESIDENT_MAX_KPAD else 2
-            sg = (nseqs + nseq - 1) // nseq
-            variants[(blk.kpad, P, blk.group, nseq, n_stream)] = sg
 
-        def compile_one(key, sg):
-            kpad, P, group, nseq, n_stream = key
-            f32 = jax.ShapeDtypeStruct
-            vp._run.lower(
-                f32((P, vp.NTAB, group, kpad), np.float32),
-                f32((P, vp.NTAB, 2, group), np.float32),
-                f32((P, vp.NPLANES, group, kpad), np.float32),
-                jax.ShapeDtypeStruct(
-                    (sg, nch, vp.SEQROWS, nseq * vp.WC // vp.SEQROWS),
-                    np.int32,
-                ),
-                jax.ShapeDtypeStruct(
-                    (sg, vp.SEQROWS, vp.SLPAD), np.int32
-                ),
-                K=kpad, P=P, nseq=nseq,
+        def warm_block(blk: _Block):
+            pb = self._pallas_block(blk)
+            nseq = vp.pick_nseq(nseqs, vp.nseq_cap(blk.kpad, blk.group))
+            sg = (nseqs + nseq - 1) // nseq
+            seqinfo = jnp.zeros(
+                (sg, nch, vp.SEQROWS, nseq * vp.WC // vp.SEQROWS),
+                jnp.int32,
+            )
+            seqlens = jnp.ones((sg, vp.SEQROWS, vp.SLPAD), jnp.int32)
+            alt, null = pb.scores(
+                seqinfo, seqlens, min(nseqs, sg * nseq),
                 multi_hits=self.params.multi_hits,
                 hmmer3_compat=self.params.hmmer3_compat,
                 interpret=self.pallas_interpret,
-                n_stream=n_stream, group=group,
-            ).compile()
+            )
+            np.asarray(alt)
+            np.asarray(null)
 
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             futs = [
-                ex.submit(compile_one, k, sg) for k, sg in variants.items()
+                ex.submit(warm_block, blk)
+                for blk in self._blocks
+                if blk.kpad <= PALLAS_MAX_KPAD
             ]
             for f in futs:
                 f.result()
@@ -462,10 +460,16 @@ class ScanEngine:
                 elif self.mesh is not None:
                     from deciphon_tpu.parallel import pallas_scan as ps
 
+                    # upload the sharded block once, reuse across batches
+                    if blk.jaxdev is None:
+                        blk.jaxdev = ps.put_sharded_block(
+                            self.mesh, self._block(blk)
+                        )
                     alt, null = ps.sharded_viterbi_scores(
                         self.mesh, self._block(blk), eidx, slen,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
+                        dev_block=blk.jaxdev,
                     )
                 else:
                     alt, null = vj.viterbi_scores(

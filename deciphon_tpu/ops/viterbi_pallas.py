@@ -166,6 +166,7 @@ def _kernel(
     n_stream: int = 0,
     semiring: str = "max",
     group: int = GROUP,
+    dchain: str = "scan",
 ):
     join, reduce_k = _kernel_semiring(semiring)
     if n_stream:
@@ -369,11 +370,17 @@ def _kernel(
             )
 
         # mute D-chain: VD = cdd + cumjoin(VM + a_base) shifted one lane
-        a = accM + a_base
-        b = _cummax_lanes(a, K, negmasks, join)
-        VD = jnp.maximum(  # numeric clamp, not a semiring op
-            cdd + _shift_lanes(b, 1, negmasks[1]), NEG
-        )
+        if dchain == "off":
+            # ABLATION ONLY (benchmarks/dchain_ablation.py): wrong
+            # numerics — times the kernel with the prefix scan elided to
+            # bound what any D-chain optimization could ever recover
+            VD = negk
+        else:
+            a = accM + a_base
+            b = _cummax_lanes(a, K, negmasks, join)
+            VD = jnp.maximum(  # numeric clamp, not a semiring op
+                cdd + _shift_lanes(b, 1, negmasks[1]), NEG
+            )
 
         VE = reduce_k(join(accM, VD))  # [NSEQ, GROUP]
         VB = join(
@@ -588,7 +595,7 @@ def pack_block_compact(profiles, kpad: int | None = None,
     jax.jit,
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
-        "n_stream", "semiring", "group",
+        "n_stream", "semiring", "group", "dchain",
     ),
 )
 def _run(
@@ -596,12 +603,14 @@ def _run(
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
+    dchain: str = "scan",
 ):
     SG, nch = seqinfo.shape[0], seqinfo.shape[1]
     kernel = functools.partial(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         n_stream=n_stream, semiring=semiring, group=group,
+        dchain=dchain,
     )
     grid = (P, SG)
     nres = NTAB if n_stream == 0 else NRES_B
@@ -789,10 +798,12 @@ class PallasBlock:
         hmmer3_compat: bool = False,
         interpret: bool = False,
         semiring: str = "max",
+        dchain: str = "scan",
     ):
         """(alt [S, B], null [S, B]) device arrays for a packed seq batch.
         semiring="logsumexp" runs the forward algorithm in the same
-        kernel (max -> logaddexp / LSE swap)."""
+        kernel (max -> logaddexp / LSE swap).  dchain="off" is an
+        ablation-only timing mode with wrong numerics."""
         # layout fixed by make_seqinfo: [SG, nch, SEQROWS, nseq*WC/SEQROWS]
         nseq = seqinfo.shape[2] * seqinfo.shape[3] // WC
         alt, null = _run(
@@ -801,7 +812,7 @@ class PallasBlock:
             K=self.kpad, P=self.ngroups, nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
-            semiring=semiring, group=self.group,
+            semiring=semiring, group=self.group, dchain=dchain,
         )
         # [P, SG, nseq, group] -> [S, B]
         P, SG = alt.shape[0], alt.shape[1]

@@ -292,16 +292,25 @@ def viterbi_alt_batch(
     for lo in range(0, len(profs), TRACE_BATCH):
         chunk_p = profs[lo : lo + TRACE_BATCH]
         chunk_s = seqs[lo : lo + TRACE_BATCH]
-        block = build_profile_block(chunk_p, kpad=kpad, codes=codes)
+        # pad the hit axis to a power-of-two tier so jit compiles at most
+        # log2(TRACE_BATCH) variants per (kpad, Lp, codes) class instead
+        # of one per distinct survivor count (a cold-start sink)
+        H = len(chunk_p)
+        Hp = 1
+        while Hp < H:
+            Hp *= 2
+        pad_p = chunk_p + [chunk_p[0]] * (Hp - H)
+        pad_s = chunk_s + [chunk_s[0]] * (Hp - H)
+        block = build_profile_block(pad_p, kpad=kpad, codes=codes)
         eidx = np.stack(
             [
                 end_fragment_indices(
                     fragment_indices(s, pad_to=Lp, base=base), base=base
                 )
-                for s in chunk_s
+                for s in pad_s
             ]
         )
-        lens = np.array([len(s) for s in chunk_s], np.int32)
+        lens = np.array([len(s) for s in pad_s], np.int32)
         alt, _, ys = _trace_scan_batch(
             tuple(block), jnp.asarray(eidx), jnp.asarray(lens),
             multi_hits, hmmer3_compat,

@@ -33,5 +33,9 @@ def enable() -> str | None:
 
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERYTHING: on a remote-compile relay even sub-second eager
+    # ops (the scan epilogue's transpose/reshape/slice shapes) cost
+    # multi-second first-call round trips per process, and the default
+    # 1.0 s floor silently excluded them from the cache
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return cache_dir
