@@ -61,11 +61,16 @@ def cmd_press(args) -> int:
 
 
 def cmd_scan(args) -> int:
+    from deciphon_tpu.db.dispatch import STANDARD, db_typeid
     from deciphon_tpu.db.format import TensorDB
     from deciphon_tpu.ops.scan_engine import ScanEngine, ScanParams, SeqRecord
     from deciphon_tpu.server.prod import ProdWriter
     from deciphon_tpu.utils.fasta import read_fasta
 
+    # typeid dispatch (the reference's profile vtable at db-open time,
+    # src/db/profile_reader.c:95-98 / src/model/profile.h:11-18)
+    if db_typeid(args.db) == STANDARD:
+        return _scan_standard(args)
     db = TensorDB.load(args.db)
     engine = ScanEngine(
         db,
@@ -109,6 +114,54 @@ def cmd_scan(args) -> int:
     writer.write(out)
     print(f"{nhits} hits from {nseqs} seqs x "
           f"{db.nprofiles} profiles -> {out}")
+    return 0
+
+
+def _scan_standard(args) -> int:
+    """Scan against a standard (typeid-1, generic dense HMM) database.
+
+    Vestigial in the reference (its reader only instantiates PROTEIN)
+    but the kind exists in the enum and scan vtable; here it scans for
+    real via the batched XLA Viterbi (ops/viterbi_standard.py).  Rows
+    carry typeid 'standard' and an empty match column (generic profiles
+    have no codon decode; the reference defines none either)."""
+    from deciphon_tpu.db.standard_db import load_standard_db
+    from deciphon_tpu.ops.viterbi_standard import scan_standard
+    from deciphon_tpu.server.prod import ProdWriter
+    from deciphon_tpu.utils.fasta import read_fasta
+
+    profiles = load_standard_db(args.db)
+    writer = ProdWriter(
+        scan_id=0,
+        abc_name=profiles[0].abc.name if profiles else "dna",
+        profile_typeid="standard",
+    )
+    nhits = 0
+    nseqs = 0
+    batch: list[tuple[int, str]] = []
+
+    def flush(batch):
+        nonlocal nhits
+        hits = scan_standard(
+            profiles, [d for _, d in batch],
+            lrt_threshold=args.lrt_threshold,
+        )
+        for q, b, alt, null, _lrt in hits:
+            writer.add(batch[q][0], profiles[b].accession, alt, null, "")
+            nhits += 1
+
+    for name, data in read_fasta(args.fasta):
+        nseqs += 1
+        batch.append((nseqs, data))
+        if len(batch) >= args.batch_size:
+            flush(batch)
+            batch = []
+    if batch:
+        flush(batch)
+    out = args.output or "prods.tsv"
+    writer.write(out)
+    print(f"{nhits} hits from {nseqs} seqs x "
+          f"{len(profiles)} profiles -> {out}")
     return 0
 
 
@@ -224,6 +277,20 @@ def cmd_info(args) -> int:
         if info.profile_sizes:
             print(f"bytes/prof: min {min(info.profile_sizes)}, "
                   f"max {max(info.profile_sizes)}")
+        return 0
+
+    from deciphon_tpu.db.dispatch import STANDARD, db_typeid
+
+    if db_typeid(args.db) == STANDARD:
+        from deciphon_tpu.db.standard_db import load_standard_db
+
+        profs = load_standard_db(args.db)
+        print(f"profiles:   {len(profs)}")
+        print("type:       standard")
+        if profs:
+            print(f"abc:        {profs[0].abc.name}")
+            ns = [p.nstates for p in profs]
+            print(f"states:     {sum(ns)} (min {min(ns)}, max {max(ns)})")
         return 0
 
     db = TensorDB.load(args.db)

@@ -68,9 +68,9 @@ STREAM_LENGTHS = (4, 5)
 
 def nseq_cap(kpad: int, group: int = GROUP) -> int:
     """Per-instance sequence-stack cap: the DP rings + stream buffers are
-    O(nseq*group*K) of VMEM, so the stack shrinks as the core axis grows
-    and recovers when the profile rows are half-width (group=8)."""
-    budget = 1024 * (GROUP // group)
+    O(nseq*group*K) of VMEM, so the stack shrinks as the (group x core)
+    footprint grows and recovers when the profile rows are narrower."""
+    budget = 1024 * GROUP // group  # group-lanes at the full stack
     if kpad <= budget:
         return NSEQ
     if kpad <= 2 * budget:

@@ -110,6 +110,62 @@ def test_standard_scan_and_db_roundtrip(tmp_path):
     assert loaded[0].state_name(12) == "S12"
 
 
+def test_typeid_dispatch(tmp_path):
+    """db/dispatch routes by header typeid without loading payloads
+    (the reference's profile vtable at open time, profile_reader.c:95-98)."""
+    from deciphon_tpu.db.dispatch import STANDARD, db_typeid, open_db
+    from deciphon_tpu.db.format import TensorDB, write_db
+    from deciphon_tpu.db.standard_db import write_standard_db
+    from deciphon_tpu.models.profile import sample_profile
+    from deciphon_tpu.utils.rc import DcpError
+
+    std = str(tmp_path / "std.dtp")
+    write_standard_db(std, [sample_standard(1, 3)])
+    assert db_typeid(std) == STANDARD
+    tid, profs = open_db(std)
+    assert tid == STANDARD and profs[0].accession == "STD00001"
+
+    prot = str(tmp_path / "prot.dtp")
+    write_db(prot, [sample_profile(1, 3)])
+    assert db_typeid(prot) == "protein"
+    tid, db = open_db(prot)
+    assert tid == "protein" and isinstance(db, TensorDB)
+
+    junk = str(tmp_path / "junk.dtp")
+    with open(junk, "wb") as fp:
+        fp.write(b"\x00not msgpack")
+    with pytest.raises(DcpError):
+        db_typeid(junk)
+
+
+def test_cli_scan_dispatches_standard(tmp_path, capsys):
+    """CLI scan routes a typeid-1 db through the standard engine and
+    writes 'standard' product rows."""
+    from deciphon_tpu.cli.main import main
+    from deciphon_tpu.db.standard_db import write_standard_db
+
+    profiles = [sample_standard(s + 1, 3) for s in range(3)]
+    profiles[1].alt_emis[:] = np.log(
+        np.array([0.97, 0.01, 0.01, 0.01])
+    )[None, :]
+    db = str(tmp_path / "std.dtp")
+    write_standard_db(db, profiles)
+    fa = tmp_path / "reads.fa"
+    fa.write_text(">r1\nAAAAAAAAAAAA\n>r2\nCGTCGTCGTCGT\n")
+    out = str(tmp_path / "prods.tsv")
+    rc = main(["scan", db, str(fa), "-o", out, "--lrt-threshold", "5.0"])
+    assert rc == 0
+    rows = open(out).read().splitlines()
+    assert rows[0].startswith("scan_id\t")
+    hit = [r for r in rows[1:] if "\tSTD00002\t" in r]
+    assert hit and "\tstandard\t" in hit[0]
+    # info dispatches too
+    rc = main(["info", db])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "type:       standard" in cap
+
+
 def test_standard_db_rejects_wrong_type(tmp_path):
     import msgpack
 
