@@ -57,8 +57,11 @@ def check(kpad: int, nprof: int = 16, nseqs: int = 16, L: int = 500):
     slen = np.array([len(s) for s in seqs], np.int32)
 
     t0 = time.time()
-    pb = vp.PallasBlock(block)
-    nseq = vp.pick_nseq(nseqs, vp.nseq_cap(kpad))
+    # production row shape: group-8 rows above the group-16 residency
+    # boundary (db/partition.pack_profile_rows)
+    group = 8 if kpad > vp.RESIDENT_MAX_KPAD else vp.GROUP
+    pb = vp.PallasBlock(block, group=group)
+    nseq = vp.pick_nseq(nseqs, vp.nseq_cap(kpad, group))
     seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=nseq)
     seqinfo = jax.numpy.asarray(seqinfo)
     seqlens = jax.numpy.asarray(seqlens)

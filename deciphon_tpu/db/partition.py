@@ -58,7 +58,7 @@ def pack_profile_rows(
     core_sizes: np.ndarray,
     lane: int = 128,
     group: int = 16,
-    small_group_kpad: int = 1024,
+    small_group_kpad: int = 768,
     small_group: int = 8,
 ) -> list[tuple[int, int, np.ndarray]]:
     """Sorted-greedy row packing for the batched Viterbi kernel.
@@ -69,9 +69,11 @@ def pack_profile_rows(
     cutting minimizes sum(rows * kpad) over all partitions into rows of
     a fixed size, and rows sharing (kpad, row width) merge into one
     kernel block.  Rows whose kpad exceeds ``small_group_kpad`` use the
-    narrower ``small_group`` width so a lone huge profile (the 4096-core
+    narrower ``small_group`` width: a lone huge profile (the 4096-core
     envelope limit, reference include/deciphon/core/limits.h:11) wastes
-    half as many padding sublanes.
+    half as many padding sublanes, and group-8 rows keep the fragment
+    table VMEM-resident through kpad 1536 (viterbi_pallas.resident_ok —
+    measured faster than streaming there).
 
     This is the tensor-era replacement for both the reference's balanced
     byte partitions (src/db/profile_reader.c:44-72) and the round-2

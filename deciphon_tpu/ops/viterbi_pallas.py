@@ -59,11 +59,22 @@ NSEQ = 32  # default sequences per kernel instance (stacked leading dim)
 NTAB = FRAG_SENTINEL + 1  # 1365 fragment rows incl. -inf sentinel
 
 # Largest padded core size whose full fragment table stays VMEM-resident
-# (regime A).  Above it the kernel switches to regime B: length-1..3 rows
-# resident, length-4/5 rows streamed from HBM per position.
+# (regime A) at the default GROUP width.  Above it the kernel switches to
+# regime B: length-1..3 rows resident, length-4/5 rows streamed from HBM
+# per position.  The real budget is the table footprint NTAB*group*K, so
+# narrower rows stay resident deeper into the envelope (resident_ok).
 RESIDENT_MAX_KPAD = 768
 NRES_B = FRAG_OFFSET[4]  # 84 rows cover fragment lengths 1..3
 STREAM_LENGTHS = (4, 5)
+
+
+def resident_ok(kpad: int, group: int = GROUP) -> bool:
+    """Whether the full fragment table fits VMEM for this row shape:
+    NTAB * group * kpad * 4 B <= ~67 MB (leaves room for the DP rings
+    inside the 100 MB scoped-vmem budget).  group-8 rows stay resident
+    through kpad 1536 — measured faster than streaming there (v5e:
+    100.9 vs 93.2 GCUPS at kpad 1024, 92.8 vs 89.5 at 1536)."""
+    return kpad * group <= RESIDENT_MAX_KPAD * GROUP
 
 
 def nseq_cap(kpad: int, group: int = GROUP) -> int:
@@ -751,7 +762,7 @@ class PallasBlock:
         self.kpad = femis_m.shape[-1]
         self.ngroups = femis_m.shape[0]
         if n_stream is None:
-            n_stream = 0 if self.kpad <= RESIDENT_MAX_KPAD else 2
+            n_stream = 0 if resident_ok(self.kpad, self.group) else 2
         self.n_stream = n_stream
 
     @classmethod

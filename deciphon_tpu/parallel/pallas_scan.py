@@ -64,7 +64,7 @@ class ShardedPallasBlock:
         self.kpad = femis_m.shape[-1]
         self.ngroups = femis_m.shape[0]
         if n_stream is None:
-            n_stream = 0 if self.kpad <= vp.RESIDENT_MAX_KPAD else 2
+            n_stream = 0 if vp.resident_ok(self.kpad, self.group) else 2
         self.n_stream = n_stream
 
     def put_seqs(self, seqinfo: np.ndarray, seqlens: np.ndarray):
