@@ -72,6 +72,21 @@ def cmd_scan(args) -> int:
     if db_typeid(args.db) == STANDARD:
         return _scan_standard(args)
     db = TensorDB.load(args.db)
+    subset = None
+    nprofiles = db.nprofiles
+    if args.shard:
+        # share-nothing scale-out: worker i of N scans one contiguous
+        # size-balanced DB partition (the reference's model — N daemons
+        # against one scheduler — with the reference's byte-balanced
+        # prefix-sum split, src/db/profile_reader.c:44-72)
+        from deciphon_tpu.db.partition import balanced_partitions
+
+        i, n = (int(x) for x in args.shard.split("/", 1))
+        if not 1 <= i <= n:
+            raise ValueError(f"--shard {args.shard}: need 1 <= i <= N")
+        part = balanced_partitions(db.profile_weights(), n)[i - 1]
+        subset = list(part)
+        nprofiles = len(subset)
     engine = ScanEngine(
         db,
         ScanParams(
@@ -79,6 +94,7 @@ def cmd_scan(args) -> int:
             hmmer3_compat=args.hmmer3_compat,
             lrt_threshold=args.lrt_threshold,
         ),
+        subset=subset,
     )
     # stream the FASTA in bounded batches (same memory envelope as the
     # daemon's DCP_SCAN_BATCH streaming) so a multi-GB read set never
@@ -112,8 +128,9 @@ def cmd_scan(args) -> int:
         flush(batch)
     out = args.output or "prods.tsv"
     writer.write(out)
+    shard = f" (shard {args.shard})" if args.shard else ""
     print(f"{nhits} hits from {nseqs} seqs x "
-          f"{db.nprofiles} profiles -> {out}")
+          f"{nprofiles} profiles{shard} -> {out}")
     return 0
 
 
@@ -345,6 +362,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--batch-size", type=int, default=1024,
         help="reads scanned per device batch (memory bound)",
+    )
+    p.add_argument(
+        "--shard", default="",
+        help="i/N: scan only the i-th of N size-balanced DB partitions "
+             "(share-nothing scale-out; run N workers, merge TSVs)",
     )
     p.set_defaults(fn=cmd_scan)
 

@@ -137,6 +137,7 @@ class ScanEngine:
         pallas_interpret: bool = False,
         traceback: str = "jax",  # "jax" (fast) | "oracle" (numpy)
         mesh=None,  # jax.sharding.Mesh('seqs', 'profiles') -> SPMD scan
+        subset=None,  # profile indices to scan (share-nothing sharding)
     ):
         if use_pallas is None:
             import jax
@@ -151,16 +152,24 @@ class ScanEngine:
         self.traceback = traceback
         self._blocks: list[_Block] = []
         self._kpad_of: dict[int, int] = {}
+        # subset = one share-nothing DB partition (the reference's
+        # scale-out unit: N workers x contiguous size-balanced slices,
+        # src/db/profile_reader.c:44-72 via db/partition.py)
+        subset = None if subset is None else np.asarray(subset, np.int64)
+        self.subset = subset
+        sizes = db.core_sizes if subset is None else db.core_sizes[subset]
         if use_pallas:
             # sorted-greedy rows of a shared lane-rounded width; huge-core
             # rows are half-width so the 4096 envelope tail wastes less
-            packed = pack_profile_rows(db.core_sizes, lane=lane)
+            packed = pack_profile_rows(sizes, lane=lane)
         else:
             # XLA engine has no sublane-row structure; group is notional
             packed = pack_profile_rows(
-                db.core_sizes, lane=lane, small_group_kpad=1 << 30
+                sizes, lane=lane, small_group_kpad=1 << 30
             )
         for kpad, group, idxs in packed:
+            if subset is not None:
+                idxs = subset[idxs]
             blk = _Block(idxs, kpad, group)
             self._blocks.append(blk)
             for gi in idxs:

@@ -51,3 +51,46 @@ def test_cli_parity_synthetic(tmp_path, capsys):
     assert os.path.exists(out)
     # strict mode refuses unknown assets
     assert main(["parity", str(hmm), "--strict", "-o", str(out)]) == 1
+
+
+def test_cli_scan_sharded_union(tmp_path, capsys):
+    """Union of --shard i/N scans == the full scan (share-nothing
+    scale-out over balanced_partitions; reference profile_reader.c:44-72
+    split, scale-out model of SURVEY.md §5)."""
+    hmm = tmp_path / "m.hmm"
+    _synth_hmm(str(hmm), cores=(4, 6, 5, 7, 3))
+    dtp = tmp_path / "m.dtp"
+    assert main(["press", str(hmm), "-o", str(dtp)]) == 0
+    from deciphon_tpu.db.format import TensorDB
+    from deciphon_tpu.models.alphabet import STANDARD_CODE
+
+    db = TensorDB.load(str(dtp))
+    reads = []
+    for i in (1, 3):
+        p = db.profile(i)
+        reads.append("".join(
+            STANDARD_CODE.codon_str(b // 16, (b // 4) % 4, b % 4)
+            for b in np.argmax(p.match_codonp, axis=1)
+        ))
+    fasta = tmp_path / "r.fa"
+    fasta.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+
+    def rows(path):
+        return set(open(path).read().splitlines()[1:])
+
+    full = tmp_path / "full.tsv"
+    assert main(["scan", str(dtp), str(fasta), "-o", str(full)]) == 0
+    union = set()
+    for i in (1, 2, 3):
+        out = tmp_path / f"s{i}.tsv"
+        assert main(
+            ["scan", str(dtp), str(fasta), "-o", str(out),
+             "--shard", f"{i}/3"]
+        ) == 0
+        part = rows(out)
+        assert not (union & part)  # partitions are disjoint
+        union |= part
+    assert union == rows(full) and union
+    capsys.readouterr()
+    # invalid shard spec -> EINVAL exit
+    assert main(["scan", str(dtp), str(fasta), "--shard", "4/3"]) != 0

@@ -85,3 +85,37 @@ def test_trace_engine_goldens(prof):
     assert res.loglik == pytest.approx(G_ALT_MULTI, abs=1e-3)
     ref = vr.viterbi_alt(prof, DNA.encode(SEQ))
     assert res.path == ref.path
+
+
+# ENTRY_DIST_UNIFORM end-to-end: the reference multiplies the uniform
+# entry log-prob by M (protein_model.c:415, reproduced verbatim in
+# models/profile.py); this pin would catch anyone "fixing" that oddity.
+G_UNI_ALT = -56.70650775318916
+
+
+def test_uniform_entry_goldens():
+    from deciphon_tpu.models.profile import ProteinCfg
+
+    uprof = sample_profile(1, 2, ProteinCfg(entry_dist="uniform",
+                                            epsilon=0.01))
+    enc = DNA.encode(SEQ)
+    assert vr.viterbi_alt(uprof, enc).loglik == pytest.approx(
+        G_UNI_ALT, abs=1e-9
+    )
+    # null is entry-dist-independent (R loop only)
+    assert vr.viterbi_null(uprof, enc).loglik == pytest.approx(
+        G_NULL, abs=1e-9
+    )
+    # engines agree end-to-end on the uniform-entry profile
+    block = vj.build_profile_block([uprof], kpad=8)
+    eidx = vj.end_fragment_indices(
+        fragment_indices(enc, pad_to=48)
+    )[None]
+    alt, null = vj.viterbi_scores(
+        block, eidx, np.array([len(SEQ)], np.int32)
+    )
+    assert float(alt[0, 0]) == pytest.approx(G_UNI_ALT, abs=1e-3)
+    assert float(null[0, 0]) == pytest.approx(G_NULL, abs=1e-3)
+    res = vt.viterbi_alt(uprof, enc)
+    assert res.loglik == pytest.approx(G_UNI_ALT, abs=1e-3)
+    assert res.path == vr.viterbi_alt(uprof, enc).path
