@@ -602,20 +602,17 @@ def pack_block_compact(profiles, kpad: int | None = None,
     return margp, qp, inm, inq, trans, B, eps
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
-        "n_stream", "semiring", "group", "dchain",
-    ),
-)
-def _run(
+def run_block_raw(
     femis_m, femis_in, trans, seqinfo, seqlens,
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
     dchain: str = "scan",
 ):
+    """Unjitted kernel launch: trace-composable so the scan engine can
+    fuse every block's launch (plus epilogues) into ONE jitted dispatch —
+    per-dispatch RPC latency over a tunneled chip was ~25% of a warm
+    Pfam-shaped scan (benchmarks/scan_profile.py)."""
     SG, nch = seqinfo.shape[0], seqinfo.shape[1]
     kernel = functools.partial(
         _kernel, K=K, nseq=nseq, nch=nch,
@@ -685,6 +682,70 @@ def _run(
         interpret=interpret,
     )(seqinfo, seqlens, femis_m, femis_in, trans)
     return alt, null
+
+
+_run = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
+        "n_stream", "semiring", "group", "dchain",
+    ),
+)(run_block_raw)
+
+
+def block_epilogue(alt, null, nseq: int, group: int, nseqs: int, B: int):
+    """[P, SG, nseq, group] kernel outputs -> [S, B] score matrices."""
+    P, SG = alt.shape[0], alt.shape[1]
+
+    def ep(x):
+        return (
+            jnp.transpose(x, (1, 2, 0, 3))
+            .reshape(SG * nseq, P * group)[:nseqs, :B]
+        )
+
+    return ep(alt), ep(null)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "structs", "nseqs", "multi_hits", "hmmer3_compat", "interpret",
+    ),
+)
+def fused_scores(
+    tensors, stacks, *, structs, nseqs: int,
+    multi_hits: bool, hmmer3_compat: bool, interpret: bool = False,
+):
+    """One device dispatch scoring a read batch against EVERY profile
+    block: each block's kernel launch + output epilogue trace into a
+    single jitted computation whose results concatenate along the
+    profile axis (block order).
+
+    ``structs``: static per-block (K, P, nseq, n_stream, group, stack
+    index, B) tuples; ``tensors``: matching (femis_m, femis_in, trans)
+    device-array triples; ``stacks``: (seqinfo, seqlens) per distinct
+    sequence-stack width, indexed by the struct's stack index.
+
+    Returns (alt [S, Btot], null [S, Btot]) — the whole scan's scores
+    leave the device in one pull instead of per-block transfers.
+    """
+    alts, nulls = [], []
+    for (K, P, nseq, n_stream, group, si, B), (fm, fin, tr) in zip(
+        structs, tensors
+    ):
+        seqinfo, seqlens = stacks[si]
+        alt, null = run_block_raw(
+            fm, fin, tr, seqinfo, seqlens,
+            K=K, P=P, nseq=nseq,
+            multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+            interpret=interpret, n_stream=n_stream, group=group,
+        )
+        a, n = block_epilogue(alt, null, nseq, group, nseqs, B)
+        alts.append(a)
+        nulls.append(n)
+    if len(alts) == 1:
+        return alts[0], nulls[0]
+    return jnp.concatenate(alts, axis=1), jnp.concatenate(nulls, axis=1)
 
 
 def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:
