@@ -263,8 +263,9 @@ def pfam_bench():
 
     padded = 0.0
     for blk in engine._blocks:
-        rows = -(-len(blk.chunk) // blk.group) * blk.group
-        nseq = vp.pick_nseq(PFAM_NSEQS, vp.nseq_cap(blk.kpad, blk.group))
+        slots = blk.group * blk.nsegs
+        rows = -(-len(blk.chunk) // slots) * slots
+        nseq = vp.pick_nseq(PFAM_NSEQS, vp.nseq_cap(blk.klanes, blk.group))
         padded += 3.0 * rows * blk.kpad * stack_positions(nseq)
     detail = {
         "nprofiles": len(sizes),

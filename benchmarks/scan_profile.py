@@ -3,13 +3,12 @@
 The bench's effective GCUPS (bench.py pfam mode) sits well below what the
 per-kpad kernel ladder (docs/PERFORMANCE.md) predicts for the same block
 mix — this script builds the identical problem and attributes a warm
-scan's wall time to phases:
+scan's wall time to three phases:
 
-  encode    host fragment-index encoding of the read batch
-  pack      make_seqinfo packing + host->device upload per nseq stack
-  queue     dispatching every block's kernel (async)
-  sync      device completion + result pulls (np.asarray per block)
-  gate      LRT filter + traceback of survivors
+  encode+queue    host fragment-index encoding + seqinfo packing/upload
+                  + dispatching every block's kernel (async)
+  sync            device completion + result pulls (np.asarray per block)
+  gate+traceback  LRT filter + traceback of survivors
 
 Run on the TPU box:  python benchmarks/scan_profile.py
 """

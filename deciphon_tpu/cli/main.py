@@ -112,6 +112,19 @@ def cmd_scan(args) -> int:
             # before the first dispatch (otherwise compiles serialize)
             engine.warmup(len(batch), max(len(r.data) for r in batch))
             warmed = True
+        if args.best_hit:
+            # one row per read: device-side argmax reduction (on a mesh
+            # the reduction crosses profile shards as an XLA collective,
+            # ScanEngine.best_hits); no traceback/match column —
+            # BASELINE.json's "best-hit per read" config
+            for b in engine.best_hits(batch):
+                if b.lrt >= args.lrt_threshold:
+                    writer.add(
+                        b.seq_id, b.accession, b.alt_loglik,
+                        b.null_loglik, "",
+                    )
+                    nhits += 1
+            return
         for h in engine.scan(batch):
             writer.add(
                 h.seq_id, h.accession, h.alt_loglik, h.null_loglik, h.match
@@ -367,6 +380,11 @@ def main(argv=None) -> int:
         "--shard", default="",
         help="i/N: scan only the i-th of N size-balanced DB partitions "
              "(share-nothing scale-out; run N workers, merge TSVs)",
+    )
+    p.add_argument(
+        "--best-hit", action="store_true",
+        help="emit one row per read (its best LRT-passing profile) via "
+             "the device-side argmax reduction; no match column",
     )
     p.set_defaults(fn=cmd_scan)
 

@@ -84,27 +84,37 @@ class BestHit:
 
 
 class _Block:
-    """One kernel dispatch unit: profiles sharing (kpad, group width).
+    """One kernel dispatch unit: profiles sharing (kpad, group, nsegs).
 
-    Device/host tensor forms are built lazily and cached; the base-5
-    (IUPAC) forms are dropped after each scan that needed them —
-    ambiguous reads are rare and the tables are ~3x the base-4 size.
+    ``kpad`` is the PER-PROFILE padded width; segmented blocks
+    (nsegs > 1) pack nsegs profiles per sublane into a kpad*nsegs-lane
+    kernel row.  Device/host tensor forms are built lazily and cached;
+    the base-5 (IUPAC) forms are dropped after each scan that needed
+    them — ambiguous reads are rare and the tables are ~3x the base-4
+    size.
     """
 
     __slots__ = (
-        "chunk", "kpad", "group", "host", "pallas", "jaxdev",
+        "chunk", "kpad", "group", "nsegs", "host", "pallas", "jaxdev",
         "iupac_host", "iupac_dev",
     )
 
-    def __init__(self, chunk: np.ndarray, kpad: int, group: int):
+    def __init__(self, chunk: np.ndarray, kpad: int, group: int,
+                 nsegs: int = 1):
         self.chunk = chunk
         self.kpad = kpad
         self.group = group
+        self.nsegs = nsegs
         self.host = None  # host ProfileBlock (base 4)
         self.pallas = None  # PallasBlock | ShardedPallasBlock
         self.jaxdev = None  # device ProfileBlock for the XLA engine
         self.iupac_host = None  # host base-5 ProfileBlock
         self.iupac_dev = None  # device base-5 form (engine-dependent)
+
+    @property
+    def klanes(self) -> int:
+        """Kernel lane width (the VMEM/nseq budget unit)."""
+        return self.kpad * self.nsegs
 
 
 def pad_seq_len(L: int) -> int:
@@ -159,18 +169,19 @@ class ScanEngine:
         self.subset = subset
         sizes = db.core_sizes if subset is None else db.core_sizes[subset]
         if use_pallas:
-            # sorted-greedy rows of a shared lane-rounded width; huge-core
-            # rows are half-width so the 4096 envelope tail wastes less
+            # DP-packed blocks: segmented rows for small cores, classic
+            # rows above; huge-core rows are half-width so the 4096
+            # envelope tail wastes less
             packed = pack_profile_rows(sizes, lane=lane)
         else:
             # XLA engine has no sublane-row structure; group is notional
             packed = pack_profile_rows(
-                sizes, lane=lane, small_group_kpad=1 << 30
+                sizes, lane=lane, small_group_kpad=1 << 30, seg=False
             )
-        for kpad, group, idxs in packed:
+        for kpad, group, nsegs, idxs in packed:
             if subset is not None:
                 idxs = subset[idxs]
-            blk = _Block(idxs, kpad, group)
+            blk = _Block(idxs, kpad, group, nsegs)
             self._blocks.append(blk)
             for gi in idxs:
                 self._kpad_of[int(gi)] = kpad
@@ -203,7 +214,8 @@ class ScanEngine:
                 )
 
                 blk.pallas = ShardedPallasBlock(
-                    self._block(blk), self.mesh, group=blk.group
+                    self._block(blk), self.mesh, group=blk.group,
+                    nsegs=blk.nsegs,
                 )
             else:
                 from deciphon_tpu.ops import viterbi_pallas as vp
@@ -213,7 +225,7 @@ class ScanEngine:
                 # ships ~10x fewer bytes (ops/tables.py)
                 blk.pallas = vp.PallasBlock.from_profiles(
                     [self.db.profile(int(i)) for i in blk.chunk],
-                    kpad=blk.kpad, group=blk.group,
+                    kpad=blk.kpad, group=blk.group, nsegs=blk.nsegs,
                 )
             blk.host = None  # host copy no longer needed on this path
         return blk.pallas
@@ -272,30 +284,44 @@ class ScanEngine:
         serially, and warming ``_run`` alone still left ~30-50 s per
         block of first-call epilogue compiles over the device relay —
         the round-2/3 cold-start sink).  XLA compilation releases the
-        GIL, so per-block warms overlap across the thread pool.  Returns
-        seconds spent."""
+        GIL, so per-block warms overlap across the thread pool.  On a
+        mesh the same warm runs through ShardedPallasBlock with the
+        dummy batch sharded over 'seqs' (the round-3 no-op here left a
+        multi-device daemon paying the full serial first-scan compile).
+        Returns seconds spent."""
         import time
 
-        if not self.use_pallas or self.mesh is not None:
+        if not self.use_pallas:
             return 0.0
         import concurrent.futures as cf
+        import threading
 
         import jax.numpy as jnp
         from deciphon_tpu.ops import viterbi_pallas as vp
 
+        # serialize overlapping warmups (the daemon prewarms on a thread
+        # while spooling reads, then tops up with the real shapes — the
+        # second call must wait, not race the lazy block builds)
+        lock = self.__dict__.setdefault("_warm_lock", threading.Lock())
         t0 = time.perf_counter()
         Lp = pad_seq_len(max_len)
         nch = Lp // vp.CPOS
+        seqs_mult = self.mesh.shape["seqs"] if self.mesh is not None else 1
 
         def warm_block(blk: _Block):
             pb = self._pallas_block(blk)
-            nseq = vp.pick_nseq(nseqs, vp.nseq_cap(blk.kpad, blk.group))
+            nseq = vp.pick_nseq(nseqs, vp.nseq_cap(blk.klanes, blk.group))
             sg = (nseqs + nseq - 1) // nseq
+            sg = (sg + seqs_mult - 1) // seqs_mult * seqs_mult
             seqinfo = jnp.zeros(
                 (sg, nch, vp.SEQROWS, nseq * vp.WC // vp.SEQROWS),
                 jnp.int32,
             )
             seqlens = jnp.ones((sg, vp.SEQROWS, vp.SLPAD), jnp.int32)
+            if self.mesh is not None:
+                seqinfo, seqlens = pb.put_seqs(
+                    np.asarray(seqinfo), np.asarray(seqlens)
+                )
             alt, null = pb.scores(
                 seqinfo, seqlens, min(nseqs, sg * nseq),
                 multi_hits=self.params.multi_hits,
@@ -305,7 +331,7 @@ class ScanEngine:
             np.asarray(alt)
             np.asarray(null)
 
-        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        with lock, cf.ThreadPoolExecutor(max_workers=workers) as ex:
             futs = [
                 ex.submit(warm_block, blk)
                 for blk in self._blocks
@@ -356,6 +382,8 @@ class ScanEngine:
             lrt = np.asarray(lrt)
             alt = np.asarray(alt)
             null = np.asarray(null)
+            if self.progress is not None:
+                self.progress.consume(len(seq_ids) * len(blk.chunk))
             for i, si in enumerate(seq_ids):
                 if not np.isfinite(lrt[i]):
                     continue
@@ -429,7 +457,7 @@ class ScanEngine:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
                     nseq = vp.pick_nseq(
-                        len(seq_ids), vp.nseq_cap(blk.kpad, blk.group)
+                        len(seq_ids), vp.nseq_cap(blk.klanes, blk.group)
                     )
                     if nseq not in seqinfo_of:
                         import jax

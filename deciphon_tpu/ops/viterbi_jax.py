@@ -182,7 +182,14 @@ def _viterbi_single(
     )
     join, reduce_, cumred = _semiring(semiring)
     K = fm.shape[0]
-    xt = _specials(seq_len, multi_hits, hmmer3_compat)
+    # specials compute in the widest enabled float, then cast to the
+    # block dtype so the lax.scan carry type is width-stable (under
+    # JAX_ENABLE_X64 an uncast f64 special silently promoted the whole
+    # carry and broke the scan's carry-type invariant)
+    xt = {
+        k: jnp.asarray(v).astype(fm.dtype)
+        for k, v in _specials(seq_len, multi_hits, hmmer3_compat).items()
+    }
 
     # prefix sums for the D-chain trick: VD[k] = cdd[k] + cummax(a)[k-1]
     # with a[j] = VM[j] + md_next[j] - cdd[j+1]

@@ -39,6 +39,26 @@ Two residency regimes cover the reference's full core-size envelope
     the whole chunk, so the fetch pipelines ahead of compute).  Demand is
     2*nseq rows/position = ~2.7 bytes per DP cell — well under HBM
     bandwidth at the kernel's measured cell rate.
+
+Segmented lane packing (``nsegs > 1``): the lane axis splits into nsegs
+independent segments of width W = K/nsegs, each holding a DIFFERENT
+profile, so one kernel row scores group*nsegs profiles.  This kills the
+128-lane padding floor for small cores (the round-3 bench's biggest
+waste: a median-151-core Pfam DB ran at padding efficiency 0.61).  The
+mechanics reuse the existing machinery:
+  - the D-chain prefix scan and the k->k+1 core shift get segment-local
+    additive NEG masks (lane % W < shift instead of lane < shift) and
+    the scan stops at log2(W) rolls instead of log2(K) — segmentation
+    makes the dominant roll chain CHEAPER per cell, not pricier;
+  - per-profile scalars (specials N/J/C/E/B/R, insert/null emissions,
+    final scores) widen from [nseq, group] to [nseq, nsegs*group] (lane
+    index s*group + g) — same VPU tile count per op as unsegmented at
+    equal K;
+  - only the lane<->compact bridges are per-segment: the E-reduction
+    (per-segment lane max), and the B-entry/insert-emission broadcasts
+    (per-segment sublane broadcast + lane concat).
+All segments share each sequence's per-position fragment-row gather, so
+match-table traffic is unchanged.
 """
 
 from __future__ import annotations
@@ -152,16 +172,16 @@ def _kernel(
     seqinfo_ref,  # HBM [SG, NCH, SEQROWS, NSEQ*WC/SEQROWS] int32
     seqlen_ref,  # HBM [SG, SEQROWS, SLPAD] int32 (row 0 holds lengths)
     femis_m_hbm,  # HBM [P, NTAB, GROUP, K]
-    femis_in_ref,  # VMEM [1, NTAB, 2, GROUP]: insert + null tables
+    femis_in_ref,  # VMEM [1, NTAB, 2, nsegs*GROUP]: insert + null tables
     trans_ref,  # VMEM [1, NPLANES, GROUP, K]
-    alt_ref,  # VMEM [1, SG, NSEQ, GROUP]
-    null_ref,  # VMEM [1, SG, NSEQ, GROUP]
+    alt_ref,  # VMEM [1, SG, NSEQ, nsegs*GROUP]
+    null_ref,  # VMEM [1, SG, NSEQ, nsegs*GROUP]
     femis_m,  # scratch VMEM [nres, GROUP, K] (persists across grid steps)
     ring_cs,  # scratch VMEM [5, NSEQ, GROUP, K]: lane-shifted
     #   max(VM+mm_out, VI+im_out, VD+dm_out) — the whole core in-flow
     ring_ic,  # scratch VMEM [5, NSEQ, GROUP, K]: max(VM+mi, VI+ii)
-    ring_s,  # scratch VMEM [5, 8, NSEQ, GROUP]: specials
-    out_acc,  # scratch VMEM [2, NSEQ, GROUP]: running (alt, null) capture
+    ring_s,  # scratch VMEM [5, 8, NSEQ, nsegs*GROUP]: specials
+    out_acc,  # scratch VMEM [2, NSEQ, nsegs*GROUP]: (alt, null) capture
     eidx_smem,  # scratch SMEM [2, SEQROWS, NSEQ*WC/SEQROWS] int32
     seqlen_smem,  # scratch SMEM [SEQROWS, SLPAD] int32
     femis_sem,
@@ -178,6 +198,7 @@ def _kernel(
     semiring: str = "max",
     group: int = GROUP,
     dchain: str = "scan",
+    nsegs: int = 1,
 ):
     join, reduce_k = _kernel_semiring(semiring)
     if n_stream:
@@ -185,6 +206,8 @@ def _kernel(
     p_id = pl.program_id(0)
     s_id = pl.program_id(1)
     nres = femis_m.shape[0]
+    segw = K // nsegs  # per-profile lane width (== K when unsegmented)
+    ncols = nsegs * group  # per-profile columns of the compact arrays
 
     def eidx_dma(c, buf):
         return pltpu.make_async_copy(
@@ -290,26 +313,69 @@ def _kernel(
     cdd = trans_ref[0, P_CDD]
 
     negk = jnp.full((nseq, group, K), NEG, dtype=jnp.float32)
-    negg = jnp.full((nseq, group), NEG, dtype=jnp.float32)
+    negg = jnp.full((nseq, ncols), NEG, dtype=jnp.float32)
     # loop-invariant additive fill masks for lane shifts (one per power
-    # of two + the write shift); [1,1,K] broadcasts over seqs/sublanes
+    # of two + the write shift); [1,1,K] broadcasts over seqs/sublanes.
+    # Segmented rows mask per segment (lane % segw) so neither the core
+    # k->k+1 shift nor the D-chain scan leaks across profile boundaries.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    lane_in_seg = lane if nsegs == 1 else jax.lax.rem(lane, segw)
     shifts = {1}
     sh = 1
-    while sh < K:
+    while sh < segw:
         shifts.add(sh)
         sh *= 2
     negmasks = {
-        s: jnp.where(lane < s, jnp.float32(NEG), jnp.float32(0.0))
+        s: jnp.where(lane_in_seg < s, jnp.float32(NEG), jnp.float32(0.0))
         for s in sorted(shifts)
     }
+
+    def seg_bcast(x):
+        """Compact per-profile [nseq, ncols] -> lanes [nseq, group, segw]
+        per segment, concatenated to [nseq, group, K]."""
+        if nsegs == 1:
+            return jnp.broadcast_to(x[:, :, None], (nseq, group, K))
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.expand_dims(
+                        jax.lax.slice_in_dim(
+                            x, s * group, (s + 1) * group, axis=1
+                        ),
+                        -1,
+                    ),
+                    (nseq, group, segw),
+                )
+                for s in range(nsegs)
+            ],
+            axis=-1,
+        )
+
+    def seg_reduce(x):
+        """Lanes [nseq, group, K] -> compact [nseq, ncols] per-segment
+        lane reduction."""
+        if nsegs == 1:
+            return reduce_k(x)
+        return jnp.concatenate(
+            [
+                reduce_k(
+                    jax.lax.slice_in_dim(
+                        x, s * segw, (s + 1) * segw, axis=2
+                    )
+                )
+                for s in range(nsegs)
+            ],
+            axis=-1,
+        )
+
     for slot in range(5):
         ring_cs[slot] = negk
         ring_ic[slot] = negk
-        ring_s[slot] = jnp.full((8, nseq, group), NEG, dtype=jnp.float32)
+        ring_s[slot] = jnp.full((8, nseq, ncols), NEG, dtype=jnp.float32)
     # the B->M entry term is folded into ring_cs at write time; seed the
-    # virtual position-0 slot with S->B->entry (VB[0] = t_NB).  Mosaic
-    # can't reshape [nseq,1]->[nseq,1,1]; go through [nseq,GROUP] first.
+    # virtual position-0 slot with S->B->entry (VB[0] = t_NB; t_NB is
+    # per-sequence, identical across profiles/segments).  Mosaic can't
+    # reshape [nseq,1]->[nseq,1,1]; go through [nseq,GROUP] first.
     vb0 = jnp.broadcast_to(t_NB, (nseq, group))
     ring_cs[0] = vb0[:, :, None] + entry
     out_acc[0] = negg
@@ -352,10 +418,10 @@ def _kernel(
                 em_m = jnp.stack([femis_m[idx] for idx in idxs])
             # one gather serves both insert and null/special emissions
             em_in = jnp.stack([femis_in_ref[0, idx] for idx in idxs])
-            em_i = em_in[:, 0]
+            em_i = em_in[:, 0]  # [nseq, ncols]
             em_n = em_in[:, 1]
             from_start = (l == i)  # position i-l == 0
-            sp = ring_s[slot]  # [8, NSEQ, GROUP]
+            sp = ring_s[slot]  # [8, NSEQ, ncols]
 
             def acc(prev, cand):
                 # first lookback step assigns; later steps join-accumulate
@@ -363,7 +429,7 @@ def _kernel(
 
             # ring_cs already holds join(core in-flow, B + entry)
             accM = acc(accM, ring_cs[slot] + em_m)
-            accI = acc(accI, ring_ic[slot] + em_i[:, :, None])
+            accI = acc(accI, ring_ic[slot] + seg_bcast(em_i))
             start0 = jnp.where(from_start, 0.0, NEG)
             accN = acc(
                 accN, join(sp[S_N], start0) + t_NN + em_n
@@ -388,12 +454,12 @@ def _kernel(
             VD = negk
         else:
             a = accM + a_base
-            b = _cummax_lanes(a, K, negmasks, join)
+            b = _cummax_lanes(a, segw, negmasks, join)
             VD = jnp.maximum(  # numeric clamp, not a semiring op
                 cdd + _shift_lanes(b, 1, negmasks[1]), NEG
             )
 
-        VE = reduce_k(join(accM, VD))  # [NSEQ, GROUP]
+        VE = seg_reduce(join(accM, VD))  # [NSEQ, ncols]
         VB = join(
             accN + t_NB,
             join(VE + t_EJ + t_JB, accJ + t_JB),
@@ -410,7 +476,7 @@ def _kernel(
         )
         ring_cs[j] = join(
             _shift_lanes(core, 1, negmasks[1]),
-            VB[:, :, None] + entry,
+            seg_bcast(VB) + entry,
         )
         ring_ic[j] = join(accM + mi, accI + ii)
         # ordering matches the S_B..S_R row ids
@@ -458,22 +524,46 @@ def _kernel(
     null_ref[0, s_id] = out_acc[1]
 
 
-def _pad_dims(B: int, K: int, group: int = GROUP):
-    """(Kp, Bp, P): lane-tile-padded core size and group-padded profiles.
+def _pad_dims(B: int, K: int, group: int = GROUP, nsegs: int = 1):
+    """(Kp, Bp, P): lane-tile-padded PER-PROFILE width and slot-padded
+    profile count.
 
-    The core axis is the lane (minormost) dim of the HBM->VMEM DMA
-    blocks, so it must be a whole number of 128-lane tiles on real
-    hardware.  Sub-128 cores round up for free: a [group, K<128] VMEM
-    array occupies a full tile either way."""
-    Kp = max(128, ((K + 127) // 128) * 128)
-    Bp = ((B + group - 1) // group) * group
-    return Kp, Bp, Bp // group
+    The kernel's lane axis (nsegs * Kp) is the minormost dim of the
+    HBM->VMEM DMA blocks, so it must be a whole number of 128-lane tiles
+    on real hardware.  Unsegmented rows round the profile width itself;
+    segmented rows require the caller to pick (Kp, nsegs) whose product
+    is already lane-aligned (db/partition.py's tier table does)."""
+    if nsegs == 1:
+        Kp = max(128, ((K + 127) // 128) * 128)
+    else:
+        # smallest per-profile width >= K whose nsegs-wide row is a
+        # whole number of 128-lane tiles
+        import math
+
+        step = 128 // math.gcd(nsegs, 128)
+        Kp = ((K + step - 1) // step) * step
+    slots = group * nsegs
+    Bp = ((B + slots - 1) // slots) * slots
+    return Kp, Bp, Bp // slots
 
 
-def _pack_trans(getarr, Bp: int, Kp: int, group: int = GROUP):
-    """[P, NPLANES, group, Kp] transition planes from [Bp, Kp] vectors
-    supplied by ``getarr(name)`` (already profile- and core-padded)."""
-    P = Bp // group
+def _assemble_cols(a: np.ndarray, P: int, nsegs: int, group: int):
+    """Per-profile [Bp, *t] -> [P, *t, nsegs*group] compact columns
+    (lane index s*group + g, matching the kernel's per-profile arrays)."""
+    t = a.shape[1:]
+    nt = len(t)
+    a = a.reshape((P, nsegs, group) + t)
+    perm = (0,) + tuple(3 + i for i in range(nt)) + (1, 2)
+    return a.transpose(perm).reshape((P,) + t + (nsegs * group,)).copy()
+
+
+def _pack_trans(getarr, Bp: int, Kp: int, group: int = GROUP,
+                nsegs: int = 1):
+    """[P, NPLANES, group, nsegs*Kp] transition planes from [Bp, Kp]
+    per-profile vectors supplied by ``getarr(name)`` (already profile-
+    and core-padded).  The D-chain prefix sums (cdd) are computed per
+    profile, so segmentation keeps them segment-local by construction."""
+    P = Bp // (group * nsegs)
     dd = getarr("dd_in")
     dd_safe = np.maximum(dd, NEG / 1e6)
     dd_safe[:, 0] = 0.0
@@ -499,22 +589,30 @@ def _pack_trans(getarr, Bp: int, Kp: int, group: int = GROUP):
         ],
         axis=1,
     )  # [Bp, NPLANES, Kp]
-    return planes.reshape(P, group, NPLANES, Kp).transpose(0, 2, 1, 3).copy()
+    # [Bp, NPLANES, Kp] -> [P, NPLANES, group, nsegs*Kp]
+    return (
+        planes.reshape(P, nsegs, group, NPLANES, Kp)
+        .transpose(0, 3, 2, 1, 4)
+        .reshape(P, NPLANES, group, nsegs * Kp)
+        .copy()
+    )
 
 
-def pack_block(block: ProfileBlock, group: int = GROUP):
+def pack_block(block: ProfileBlock, group: int = GROUP, nsegs: int = 1):
     """Host-side packing of a ProfileBlock into kernel layout.
 
-    Returns (femis_m [P,NTAB,group,K], femis_in [P,NTAB,2,group]
-    (insert + null tables), trans [P,NPLANES,group,K], B) with the
-    profile axis padded to group multiples.
+    Returns (femis_m [P,NTAB,group,nsegs*K], femis_in
+    [P,NTAB,2,nsegs*group] (insert + null tables), trans
+    [P,NPLANES,group,nsegs*K], B) with the profile axis padded to
+    group*nsegs slot multiples.  ``nsegs > 1`` packs nsegs profiles per
+    sublane row, each in its own K-lane segment.
     """
     fm = np.asarray(block.fm, np.float32)
     fi = np.asarray(block.fi, np.float32)
     fn = np.asarray(block.fn, np.float32)
     B, K, ntab = fm.shape
     assert ntab == NTAB
-    Kp, Bp, P = _pad_dims(B, K, group)
+    Kp, Bp, P = _pad_dims(B, K, group, nsegs)
     if Kp != K:
         fm = np.concatenate(
             [fm, np.full((B, Kp - K, ntab), NEG, np.float32)], axis=1
@@ -536,25 +634,25 @@ def pack_block(block: ProfileBlock, group: int = GROUP):
         )
 
     femis_m = (
-        padB(fm).reshape(P, group, Kp, NTAB).transpose(0, 3, 1, 2).copy()
+        padB(fm).reshape(P, nsegs, group, Kp, NTAB)
+        .transpose(0, 4, 2, 1, 3)
+        .reshape(P, NTAB, group, nsegs * Kp)
+        .copy()
     )
-    femis_in = np.stack(
-        [
-            padB(fi).reshape(P, group, NTAB).transpose(0, 2, 1),
-            padB(fn).reshape(P, group, NTAB).transpose(0, 2, 1),
-        ],
-        axis=2,
-    ).copy()  # [P, NTAB, 2, group]
+    femis_in = _assemble_cols(
+        np.stack([padB(fi), padB(fn)], axis=1), P, nsegs, group
+    )  # [P, 2, NTAB, nsegs*group] -> want [P, NTAB, 2, nsegs*group]
+    femis_in = femis_in.transpose(0, 2, 1, 3).copy()
 
     def arrK(name):
         return padK(padB(np.asarray(getattr(block, name), np.float32)))
 
-    trans = _pack_trans(arrK, Bp, Kp, group)
+    trans = _pack_trans(arrK, Bp, Kp, group, nsegs)
     return femis_m, femis_in, trans, B
 
 
 def pack_block_compact(profiles, kpad: int | None = None,
-                       group: int = GROUP):
+                       group: int = GROUP, nsegs: int = 1):
     """Host side of the DEVICE-SYNTHESIS packing: compact per-node
     emission inputs instead of full fragment tables.
 
@@ -572,7 +670,7 @@ def pack_block_compact(profiles, kpad: int | None = None,
     if kpad is not None:
         assert kpad >= K
         K = kpad
-    Kp, Bp, P = _pad_dims(B, K, group)
+    Kp, Bp, P = _pad_dims(B, K, group, nsegs)
     margp = np.zeros((Bp, Kp, 125), np.float32)
     qp = np.zeros((Bp, Kp, 5), np.float32)
     inm = np.zeros((Bp, 2, 125), np.float32)
@@ -597,7 +695,7 @@ def pack_block_compact(profiles, kpad: int | None = None,
             arr[b, :k] = np.maximum(
                 np.asarray(getattr(p, name), np.float64), NEG
             )
-    trans = _pack_trans(lambda n: arrs[n], Bp, Kp, group)
+    trans = _pack_trans(lambda n: arrs[n], Bp, Kp, group, nsegs)
     eps = float(profiles[0].cfg.epsilon)
     return margp, qp, inm, inq, trans, B, eps
 
@@ -607,21 +705,20 @@ def run_block_raw(
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
-    dchain: str = "scan",
+    dchain: str = "scan", nsegs: int = 1,
 ):
-    """Unjitted kernel launch: trace-composable so the scan engine can
-    fuse every block's launch (plus epilogues) into ONE jitted dispatch —
-    per-dispatch RPC latency over a tunneled chip was ~25% of a warm
-    Pfam-shaped scan (benchmarks/scan_profile.py)."""
+    """Unjitted kernel launch: trace-composable so callers can fuse
+    multiple launches into one jitted dispatch if they choose."""
     SG, nch = seqinfo.shape[0], seqinfo.shape[1]
     kernel = functools.partial(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         n_stream=n_stream, semiring=semiring, group=group,
-        dchain=dchain,
+        dchain=dchain, nsegs=nsegs,
     )
     grid = (P, SG)
     nres = NTAB if n_stream == 0 else NRES_B
+    ncols = nsegs * group
     stream_scratch = (
         [
             pltpu.VMEM((2, n_stream, nseq, group, K), jnp.float32),
@@ -631,8 +728,8 @@ def run_block_raw(
         else []
     )
     out_shape = [
-        jax.ShapeDtypeStruct((P, SG, nseq, group), jnp.float32),
-        jax.ShapeDtypeStruct((P, SG, nseq, group), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, nseq, ncols), jnp.float32),
+        jax.ShapeDtypeStruct((P, SG, nseq, ncols), jnp.float32),
     ]
     alt, null = pl.pallas_call(
         kernel,
@@ -643,7 +740,7 @@ def run_block_raw(
             pl.BlockSpec(memory_space=pltpu.HBM),  # seqlens -> SMEM DMA
             pl.BlockSpec(memory_space=pltpu.HBM),  # femis_m -> VMEM DMA
             pl.BlockSpec(
-                (1, NTAB, 2, group), lambda p, s: (p, 0, 0, 0),
+                (1, NTAB, 2, ncols), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -653,11 +750,11 @@ def run_block_raw(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, SG, nseq, group), lambda p, s: (p, 0, 0, 0),
+                (1, SG, nseq, ncols), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, SG, nseq, group), lambda p, s: (p, 0, 0, 0),
+                (1, SG, nseq, ncols), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -665,8 +762,8 @@ def run_block_raw(
             pltpu.VMEM((nres, group, K), jnp.float32),
             pltpu.VMEM((5, nseq, group, K), jnp.float32),
             pltpu.VMEM((5, nseq, group, K), jnp.float32),
-            pltpu.VMEM((5, 8, nseq, group), jnp.float32),
-            pltpu.VMEM((2, nseq, group), jnp.float32),
+            pltpu.VMEM((5, 8, nseq, ncols), jnp.float32),
+            pltpu.VMEM((2, nseq, ncols), jnp.float32),
             pltpu.SMEM((2, SEQROWS, nseq * WC // SEQROWS), jnp.int32),
             pltpu.SMEM((SEQROWS, SLPAD), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -688,64 +785,9 @@ _run = functools.partial(
     jax.jit,
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
-        "n_stream", "semiring", "group", "dchain",
+        "n_stream", "semiring", "group", "dchain", "nsegs",
     ),
 )(run_block_raw)
-
-
-def block_epilogue(alt, null, nseq: int, group: int, nseqs: int, B: int):
-    """[P, SG, nseq, group] kernel outputs -> [S, B] score matrices."""
-    P, SG = alt.shape[0], alt.shape[1]
-
-    def ep(x):
-        return (
-            jnp.transpose(x, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * group)[:nseqs, :B]
-        )
-
-    return ep(alt), ep(null)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "structs", "nseqs", "multi_hits", "hmmer3_compat", "interpret",
-    ),
-)
-def fused_scores(
-    tensors, stacks, *, structs, nseqs: int,
-    multi_hits: bool, hmmer3_compat: bool, interpret: bool = False,
-):
-    """One device dispatch scoring a read batch against EVERY profile
-    block: each block's kernel launch + output epilogue trace into a
-    single jitted computation whose results concatenate along the
-    profile axis (block order).
-
-    ``structs``: static per-block (K, P, nseq, n_stream, group, stack
-    index, B) tuples; ``tensors``: matching (femis_m, femis_in, trans)
-    device-array triples; ``stacks``: (seqinfo, seqlens) per distinct
-    sequence-stack width, indexed by the struct's stack index.
-
-    Returns (alt [S, Btot], null [S, Btot]) — the whole scan's scores
-    leave the device in one pull instead of per-block transfers.
-    """
-    alts, nulls = [], []
-    for (K, P, nseq, n_stream, group, si, B), (fm, fin, tr) in zip(
-        structs, tensors
-    ):
-        seqinfo, seqlens = stacks[si]
-        alt, null = run_block_raw(
-            fm, fin, tr, seqinfo, seqlens,
-            K=K, P=P, nseq=nseq,
-            multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
-            interpret=interpret, n_stream=n_stream, group=group,
-        )
-        a, n = block_epilogue(alt, null, nseq, group, nseqs, B)
-        alts.append(a)
-        nulls.append(n)
-    if len(alts) == 1:
-        return alts[0], nulls[0]
-    return jnp.concatenate(alts, axis=1), jnp.concatenate(nulls, axis=1)
 
 
 def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:
@@ -804,61 +846,71 @@ class PallasBlock:
     ``n_stream`` picks the residency regime (None = by kpad: regime A for
     kpad <= RESIDENT_MAX_KPAD, else regime B streaming lengths 4-5).
     ``group`` is the sublane row width (16 default; 8 halves the padding
-    cost of huge-core rows)."""
+    cost of huge-core rows).  ``nsegs`` packs that many profiles per
+    sublane along the lane axis (segmented rows for small cores)."""
 
     def __init__(self, block: ProfileBlock, n_stream: int | None = None,
-                 group: int = GROUP):
-        femis_m, femis_in, trans, B = pack_block(block, group)
+                 group: int = GROUP, nsegs: int = 1):
+        femis_m, femis_in, trans, B = pack_block(block, group, nsegs)
         self._init(
             jnp.asarray(femis_m), jnp.asarray(femis_in),
-            jnp.asarray(trans), B, group, n_stream,
+            jnp.asarray(trans), B, group, n_stream, nsegs,
         )
 
-    def _init(self, femis_m, femis_in, trans, B, group, n_stream):
+    def _init(self, femis_m, femis_in, trans, B, group, n_stream, nsegs=1):
         self.femis_m = femis_m
         self.femis_in = femis_in
         self.trans = trans
         self.nprofiles = B
         self.group = group
-        self.kpad = femis_m.shape[-1]
+        self.nsegs = nsegs
+        self.kpad = femis_m.shape[-1]  # kernel lane width (nsegs * segw)
+        self.segw = self.kpad // nsegs  # per-profile padded width
         self.ngroups = femis_m.shape[0]
         if n_stream is None:
             n_stream = 0 if resident_ok(self.kpad, self.group) else 2
+        assert not (n_stream and nsegs > 1), "segmented rows are regime A"
         self.n_stream = n_stream
 
     @classmethod
     def from_profiles(cls, profiles, kpad: int | None = None,
-                      group: int = GROUP, n_stream: int | None = None):
+                      group: int = GROUP, n_stream: int | None = None,
+                      nsegs: int = 1):
         """Build with fragment tables synthesized ON DEVICE (MXU one-hot
         matmuls over the compact per-node inputs, ops/tables.py) instead
         of host dgemm + a 10.5x-bigger host->device upload.  The
         production path for TPU scans; numerics differ from the host
-        f64 tables only by f32 product/sum rounding (~1e-7 relative)."""
+        f64 tables only by f32 product/sum rounding (~1e-7 relative).
+        ``kpad`` is the PER-PROFILE padded width (the kernel row is
+        nsegs * kpad lanes wide)."""
         from deciphon_tpu.ops.tables import synth_fragment_tables
 
         margp, qp, inm, inq, trans, B, eps = pack_block_compact(
-            profiles, kpad, group
+            profiles, kpad, group, nsegs
         )
         Bp, Kp = margp.shape[0], margp.shape[1]
-        P = Bp // group
+        P = Bp // (group * nsegs)
         fm = synth_fragment_tables(
             jnp.asarray(margp.reshape(-1, 125)),
             jnp.asarray(qp.reshape(-1, 5)),
             eps=eps,
         )
         femis_m = jnp.transpose(
-            fm.reshape(P, group, Kp, NTAB), (0, 3, 1, 2)
-        )
+            fm.reshape(P, nsegs, group, Kp, NTAB), (0, 4, 2, 1, 3)
+        ).reshape(P, NTAB, group, nsegs * Kp)
         fin = synth_fragment_tables(
             jnp.asarray(inm.reshape(-1, 125)),
             jnp.asarray(inq.reshape(-1, 5)),
             eps=eps,
         )
         femis_in = jnp.transpose(
-            fin.reshape(P, group, 2, NTAB), (0, 3, 2, 1)
-        )
+            fin.reshape(P, nsegs, group, 2, NTAB), (0, 4, 3, 1, 2)
+        ).reshape(P, NTAB, 2, nsegs * group)
         self = object.__new__(cls)
-        self._init(femis_m, femis_in, jnp.asarray(trans), B, group, n_stream)
+        self._init(
+            femis_m, femis_in, jnp.asarray(trans), B, group, n_stream,
+            nsegs,
+        )
         return self
 
     def scores(
@@ -885,16 +937,20 @@ class PallasBlock:
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
             semiring=semiring, group=self.group, dchain=dchain,
+            nsegs=self.nsegs,
         )
-        # [P, SG, nseq, group] -> [S, B]
+        # [P, SG, nseq, nsegs*group] -> [S, B]: the kernel's compact
+        # column index s*group+g matches packing order b = (p*nsegs+s)*
+        # group+g, so one reshape recovers profiles in block order
         P, SG = alt.shape[0], alt.shape[1]
+        ncols = self.nsegs * self.group
         alt = (
             jnp.transpose(alt, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * self.group)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P * ncols)[:nseqs, : self.nprofiles]
         )
         null = (
             jnp.transpose(null, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * self.group)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P * ncols)[:nseqs, : self.nprofiles]
         )
         return alt, null
 

@@ -53,7 +53,12 @@ def _trace_scan(block_row, eidx, seq_len, multi_hits, hmmer3_compat):
         block_row
     )
     K = fm.shape[0]
-    xt = _specials(seq_len, multi_hits, hmmer3_compat)
+    # cast specials to the block dtype so the scan carry is width-stable
+    # under JAX_ENABLE_X64 (same fix as viterbi_jax._viterbi_single)
+    xt = {
+        k: jnp.asarray(v).astype(fm.dtype)
+        for k, v in _specials(seq_len, multi_hits, hmmer3_compat).items()
+    }
 
     dd_safe = jnp.maximum(dd_in, NEG / 1e6)
     cdd = jnp.cumsum(dd_safe.at[0].set(0.0))

@@ -48,8 +48,9 @@ class ShardedPallasBlock:
     """
 
     def __init__(self, block: vj.ProfileBlock, mesh: Mesh,
-                 n_stream: int | None = None, group: int = vp.GROUP):
-        femis_m, femis_in, trans, B = vp.pack_block(block, group)
+                 n_stream: int | None = None, group: int = vp.GROUP,
+                 nsegs: int = 1):
+        femis_m, femis_in, trans, B = vp.pack_block(block, group, nsegs)
         self.mesh = mesh
         dp = mesh.shape["profiles"]
         femis_m = _pad_axis0(femis_m, dp, vj.NEG)
@@ -61,10 +62,12 @@ class ShardedPallasBlock:
         self.trans = jax.device_put(trans, sh)
         self.nprofiles = B
         self.group = group
-        self.kpad = femis_m.shape[-1]
+        self.nsegs = nsegs
+        self.kpad = femis_m.shape[-1]  # kernel lane width (nsegs * segw)
         self.ngroups = femis_m.shape[0]
         if n_stream is None:
             n_stream = 0 if vp.resident_ok(self.kpad, self.group) else 2
+        assert not (n_stream and nsegs > 1), "segmented rows are regime A"
         self.n_stream = n_stream
 
     def put_seqs(self, seqinfo: np.ndarray, seqlens: np.ndarray):
@@ -84,16 +87,17 @@ class ShardedPallasBlock:
             K=self.kpad, nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
-            group=self.group,
+            group=self.group, nsegs=self.nsegs,
         )
         P_, SG = alt.shape[0], alt.shape[1]
+        ncols = self.nsegs * self.group
         alt = (
             jnp.transpose(alt, (1, 2, 0, 3))
-            .reshape(SG * nseq, P_ * self.group)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P_ * ncols)[:nseqs, : self.nprofiles]
         )
         null = (
             jnp.transpose(null, (1, 2, 0, 3))
-            .reshape(SG * nseq, P_ * self.group)[:nseqs, : self.nprofiles]
+            .reshape(SG * nseq, P_ * ncols)[:nseqs, : self.nprofiles]
         )
         return alt, null
 
@@ -102,18 +106,19 @@ class ShardedPallasBlock:
     jax.jit,
     static_argnames=(
         "mesh", "K", "nseq", "multi_hits", "hmmer3_compat", "interpret",
-        "n_stream", "group",
+        "n_stream", "group", "nsegs",
     ),
 )
 def _run_sharded(mesh, femis_m, femis_in, trans, seqinfo, seqlens, *,
                  K, nseq, multi_hits, hmmer3_compat, interpret, n_stream,
-                 group=vp.GROUP):
+                 group=vp.GROUP, nsegs=1):
     def local(fm, fin, tr, si, sl):
         return vp._run(
             fm, fin, tr, si, sl,
             K=K, P=fm.shape[0], nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=n_stream, group=group,
+            nsegs=nsegs,
         )
 
     fn = jax.shard_map(

@@ -194,10 +194,13 @@ class Server:
         # (scan.c:227), doubling scheduler traffic.  The spool keeps the
         # multi-GB-read-set memory envelope on disk, not in RAM.
         batch_size = int(os.environ.get("DCP_SCAN_BATCH", 1024))
+        best_hit = os.environ.get("DCP_BEST_HIT", "") not in ("", "0")
         nseqs = 0
         max_len = 1
         import json as _json
+        import threading
 
+        prewarm: threading.Thread | None = None
         with tempfile.NamedTemporaryFile(
             "w+", suffix=".seqs", delete=True
         ) as spool:
@@ -210,6 +213,18 @@ class Server:
                 )
                 nseqs += 1
                 max_len = max(max_len, len(s.data))
+                if prewarm is None:
+                    # overlap kernel compiles with the (HTTP-bound) spool
+                    # phase: warm with the first read's length bucket and
+                    # a full batch stack now; the post-spool warmup tops
+                    # up any tier this estimate missed (cached variants
+                    # return instantly; engine.warmup serializes itself)
+                    est_len = max_len
+                    prewarm = threading.Thread(
+                        target=lambda: engine.warmup(batch_size, est_len),
+                        daemon=True,
+                    )
+                    prewarm.start()
             total = nseqs * db.nprofiles
             log.info("%d tasks to run", total)
             progress = Progress(
@@ -219,11 +234,23 @@ class Server:
                 ),
             )
             engine.progress = progress
+            if prewarm is not None:
+                prewarm.join()
             engine.warmup(min(nseqs, batch_size), max_len)
             writer = ProdWriter(scan_id=scan.id)
             batch: list[SeqRecord] = []
 
             def flush(batch):
+                if best_hit:
+                    # one row per read, device-side argmax reduction
+                    # (DCP_BEST_HIT=1; no traceback/match column)
+                    for b in engine.best_hits(batch):
+                        if b.lrt >= self.cfg.scan_lrt_threshold:
+                            writer.add(
+                                b.seq_id, b.accession, b.alt_loglik,
+                                b.null_loglik, "",
+                            )
+                    return
                 for h in engine.scan(batch):
                     writer.add(
                         h.seq_id, h.accession, h.alt_loglik, h.null_loglik,

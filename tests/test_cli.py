@@ -94,3 +94,43 @@ def test_cli_scan_sharded_union(tmp_path, capsys):
     capsys.readouterr()
     # invalid shard spec -> EINVAL exit
     assert main(["scan", str(dtp), str(fasta), "--shard", "4/3"]) != 0
+
+
+def test_cli_scan_best_hit(tmp_path, capsys):
+    """--best-hit emits ONE row per LRT-passing read (device-side argmax
+    reduction, BASELINE.json's best-hit-per-read config), no match col."""
+    hmm = tmp_path / "b.hmm"
+    _synth_hmm(str(hmm), cores=(4, 6, 9))
+    dtp = tmp_path / "b.dtp"
+    assert main(["press", str(hmm), "-o", str(dtp)]) == 0
+    from deciphon_tpu.db.format import TensorDB
+    from deciphon_tpu.models.alphabet import STANDARD_CODE
+
+    db = TensorDB.load(str(dtp))
+
+    def consensus(i):
+        prof = db.profile(i)
+        return "".join(
+            STANDARD_CODE.codon_str(b // 16, (b // 4) % 4, b % 4)
+            for b in np.argmax(prof.match_codonp, axis=1)
+        )
+
+    fasta = tmp_path / "r.fa"
+    fasta.write_text(
+        f">r1\n{consensus(1)}\n>junk\nACGTACGTACGTACGTACGTACG\n"
+        f">r2\n{consensus(2)}\n"
+    )
+    out = tmp_path / "best.tsv"
+    assert main(
+        ["scan", str(dtp), str(fasta), "-o", str(out), "--best-hit"]
+    ) == 0
+    rows = [
+        line.split("\t") for line in out.read_text().splitlines()[1:]
+    ]
+    # exactly one row per planted read, each naming its own profile
+    assert len(rows) == 2
+    assert {r[2] for r in rows} == {
+        db.profile(1).accession, db.profile(2).accession
+    }
+    assert all(r[-1] == "" for r in rows)  # no match column content
+    capsys.readouterr()

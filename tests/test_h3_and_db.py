@@ -139,22 +139,52 @@ def test_pack_profile_rows():
 
     cores = np.array([19, 300, 150, 4096, 128, 90, 2048, 40])
     blocks = pack_profile_rows(cores, group=2, small_group_kpad=1024,
-                               small_group=1)
+                               small_group=1, seg=False)
     # every index exactly once
-    all_idx = np.concatenate([idx for _, _, idx in blocks])
+    all_idx = np.concatenate([idx for *_, idx in blocks])
     assert sorted(all_idx.tolist()) == list(range(len(cores)))
-    # kpads non-increasing, rows sorted by core desc within blocks
-    kpads = [k for k, _, _ in blocks]
+    # kpads non-increasing (blocks are contiguous runs of the sorted
+    # cores), every block wide enough for its largest core
+    kpads = [k for k, *_ in blocks]
     assert kpads == sorted(kpads, reverse=True)
-    # the two huge profiles get solo (small_group=1) rows
-    assert blocks[0] == (4096, 1, blocks[0][2])
-    assert cores[blocks[0][2]].tolist() == [4096]
-    assert blocks[1][0] == 2048
-    # remaining rows of 2: [300,150] -> 384, [128,90] -> 128, [40,19] -> 128
-    rest = {(k, tuple(cores[i].tolist())) for k, g, i in blocks[2:]}
-    assert (384, (300, 150)) in rest
-    # kpad is the lane-rounded max of each row
-    for k, g, idx in blocks:
-        for j in range(0, len(idx), g):
-            row = cores[idx[j : j + g]]
-            assert k == max(128, -(-int(row.max()) // 128) * 128)
+    for k, g, s, idx in blocks:
+        assert s == 1
+        assert k >= cores[idx].max()
+        assert k % 128 == 0
+    # the 4096 outlier never shares a block with the small cores: its
+    # block only holds >= 2048-core profiles
+    top = blocks[0]
+    assert cores[top[3]].min() >= 2048
+
+
+def test_pack_profile_rows_segmented():
+    from deciphon_tpu.db.partition import SEG_TIERS, pack_profile_rows
+
+    rng = np.random.default_rng(0)
+    cores = np.clip(
+        np.exp(rng.normal(np.log(150.0), 0.8, 512)), 16, 4096
+    ).astype(np.int64)
+    blocks = pack_profile_rows(cores)
+    all_idx = np.concatenate([idx for *_, idx in blocks])
+    assert sorted(all_idx.tolist()) == list(range(len(cores)))
+    smax = dict(SEG_TIERS)
+    padded = 0
+    for kpad, g, s, idx in blocks:
+        assert kpad >= cores[idx].max()
+        assert (kpad * s) % 128 == 0
+        if s > 1:
+            assert kpad * s <= 768  # segmented rows stay VMEM-resident
+            assert s <= smax[kpad]
+        slots = g * s
+        padded += -(-len(idx) // slots) * slots * kpad
+    # segmentation must appear and lift padding efficiency well past the
+    # round-3 unsegmented packing (~0.65 on this shape)
+    assert any(s > 1 for _, _, s, _ in blocks)
+    assert cores.sum() / padded > 0.68
+
+    # a tiny DB must not explode to 128-slot segmented rows
+    tiny = pack_profile_rows(np.array([150, 30, 200, 80]))
+    tpad = sum(
+        -(-len(idx) // (g * s)) * g * s * k for k, g, s, idx in tiny
+    )
+    assert tpad <= 16 * 256

@@ -132,3 +132,42 @@ def test_sharded_scan_engine_thresholded(scan_db):
     assert [(h.seq_idx, h.profile_idx, h.match) for h in hs] == [
         (h.seq_idx, h.profile_idx, h.match) for h in h1
     ]
+
+
+def test_mesh_warmup_covers_scan_variants(scan_db):
+    """Mesh-path warmup (round-3 fixed a silent no-op here) must compile
+    every kernel/epilogue variant the real scan will use: after warmup,
+    scanning adds NO new entries to the sharded dispatch's jit cache."""
+    from deciphon_tpu.ops.scan_engine import ScanEngine, ScanParams, SeqRecord
+    from deciphon_tpu.parallel import pallas_scan as ps
+
+    db, seqs = scan_db
+    mesh = make_scan_mesh(profile_axis=4, seq_axis=2)
+    eng = ScanEngine(
+        db, ScanParams(lrt_threshold=1e9), mesh=mesh,
+        use_pallas=True, pallas_interpret=True,
+    )
+    spent = eng.warmup(len(seqs), max(len(s) for s in seqs))
+    assert spent > 0.0  # not the round-3 silent no-op
+    cached = ps._run_sharded._cache_size()
+    assert cached > 0
+    eng.scan([SeqRecord(i, f"s{i}", s) for i, s in enumerate(seqs)])
+    assert ps._run_sharded._cache_size() == cached
+
+
+def test_best_hits_sharded_equals_unsharded(scan_db):
+    """best_hits on a mesh (argmax crossing profile shards as an XLA
+    collective) returns the same per-read winners as single-device."""
+    from deciphon_tpu.ops.scan_engine import ScanEngine, ScanParams, SeqRecord
+
+    db, seqs = scan_db
+    recs = [SeqRecord(i, f"s{i}", s) for i, s in enumerate(seqs)]
+    params = ScanParams(lrt_threshold=-1e9)
+    mesh = make_scan_mesh(profile_axis=4, seq_axis=2)
+    bs = ScanEngine(db, params, mesh=mesh, use_pallas=False).best_hits(recs)
+    b1 = ScanEngine(db, params, use_pallas=False).best_hits(recs)
+    assert [(b.seq_id, b.profile_idx) for b in bs] == [
+        (b.seq_id, b.profile_idx) for b in b1
+    ]
+    for a, b in zip(bs, b1):
+        assert a.lrt == pytest.approx(b.lrt, abs=1e-4)

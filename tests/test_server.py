@@ -178,3 +178,67 @@ def test_scan_streams_in_bounded_batches(sched, worker, monkeypatch):
     rows = [ln.split("\t") for ln in tsv.splitlines()[1:]]
     hit_seq_ids = {int(r[1]) for r in rows}
     assert len(hit_seq_ids) >= 2  # hits surfaced from first AND last batch
+
+
+def test_scan_progress_is_per_block(sched, worker, monkeypatch):
+    """Progress PATCHes to the scheduler must arrive per profile block as
+    device results sync, not once at the end of the batch (reference
+    ticks per (profile, seq): src/core/progress.c:256-294 consumed from
+    scan_thread.c:120).  A 2-block DB scanning one batch => >=2
+    increment_job_progress calls before the job flips to done."""
+    import io
+
+    fake, url = sched
+    buf = io.StringIO()
+    # enough profiles at two far-apart core sizes that the packing DP
+    # keeps them in separate kernel blocks (kpad 128 vs 384)
+    write_h3(
+        buf,
+        [random_h3(i + 1, 300 if i < 3 else 5, peak=0.9) for i in range(20)],
+    )
+    fake.add_hmm("two.hmm", buf.getvalue().encode())
+    assert worker.run_one()  # press
+    db_meta = next(iter(fake.dbs.values()))
+    scan = fake.add_scan(
+        db_meta.id, [("s%d" % i, "ACGTACGTACGTACGTACGT") for i in range(8)]
+    )
+    patches = []
+    orig = SchedAPI.increment_job_progress
+
+    def spy(self, job_id, inc):
+        patches.append(inc)
+        return orig(self, job_id, inc)
+
+    monkeypatch.setattr(SchedAPI, "increment_job_progress", spy)
+    assert worker.run_one()
+    job = fake.jobs[scan.job_id]
+    assert job.state == "done", job.error
+    assert job.progress == 100
+    assert len(patches) >= 2  # one per block sync, not one per batch
+    assert sum(patches) == 100
+
+
+def test_scan_best_hit_mode(sched, worker, monkeypatch):
+    """DCP_BEST_HIT=1: one product row per LRT-passing read via the
+    device-side argmax reduction; match column empty."""
+    fake, url = sched
+    fake.add_hmm("synth.hmm", _hmm_bytes())
+    assert worker.run_one()  # press
+    db_meta = next(iter(fake.dbs.values()))
+    db = TensorDB.load(fake.files[db_meta.filename])
+    from tests.test_scan_engine import consensus_dna
+
+    read = consensus_dna(db.profile(1))
+    scan = fake.add_scan(
+        db_meta.id,
+        [("planted", read), ("noise", "ACGTACGTACGTACGTACGT"),
+         ("planted2", read)],
+    )
+    monkeypatch.setenv("DCP_BEST_HIT", "1")
+    assert worker.run_one()
+    job = fake.jobs[scan.job_id]
+    assert job.state == "done", job.error
+    rows = [ln.split("\t") for ln in fake.products[-1].splitlines()[1:]]
+    assert len(rows) == 2  # the two planted reads, one row each
+    assert all(r[2] == db.profile(1).accession for r in rows)
+    assert all(r[-1] == "" for r in rows)
