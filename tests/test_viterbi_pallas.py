@@ -75,6 +75,65 @@ def test_group8_matches_jax_engine(setup):
     )
 
 
+@pytest.mark.parametrize("nsegs,group", [(2, 8), (4, 8), (2, 16)])
+def test_segmented_matches_jax_engine(setup, nsegs, group):
+    """Segmented lane packing (nsegs profiles per sublane row) scores
+    identically to the XLA engine: boundary masks keep the D-chain scan,
+    the core k->k+1 shift, and the E-reduction segment-local."""
+    block, eidx, slen, (ref_alt, ref_null) = setup
+    pb = vp.PallasBlock(block, group=group, nsegs=nsegs)
+    assert pb.kpad % 128 == 0 and pb.segw * nsegs == pb.kpad
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen)
+    import jax.numpy as jnp
+
+    alt, null = pb.scores(
+        jnp.asarray(seqinfo), jnp.asarray(seqlens), S, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(alt), np.asarray(ref_alt), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(null), np.asarray(ref_null), atol=1e-5
+    )
+
+
+def test_segmented_ragged_cores():
+    """Segments narrower than their profiles' tier + tail slot padding:
+    cores 3..60 packed 4-per-sublane at W=64 (K=256)."""
+    rng = np.random.default_rng(3)
+    profiles = [
+        sample_profile(s + 1, int(rng.integers(3, 60))) for s in range(40)
+    ]
+    block = vj.build_profile_block(profiles, kpad=64)
+    seqs = [
+        "".join(rng.choice(list("ACGT"), int(rng.integers(8, 60))))
+        for _ in range(5)
+    ]
+    eidx = np.stack(
+        [
+            vj.end_fragment_indices(
+                fragment_indices(DNA.encode(s), pad_to=64)
+            )
+            for s in seqs
+        ]
+    )
+    slen = np.array([len(s) for s in seqs], np.int32)
+    ref_alt, ref_null = vj.viterbi_scores(block, eidx, slen)
+    pb = vp.PallasBlock(block, group=4, nsegs=4)
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=8)
+    import jax.numpy as jnp
+
+    alt, null = pb.scores(
+        jnp.asarray(seqinfo), jnp.asarray(seqlens), S, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(alt), np.asarray(ref_alt), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(null), np.asarray(ref_null), atol=1e-5
+    )
+
+
 def test_pack_block_layout(setup):
     block, _, _, _ = setup
     femis_m, femis_in, trans, B = vp.pack_block(block)
