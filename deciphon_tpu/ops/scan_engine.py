@@ -241,11 +241,46 @@ class ScanEngine:
         return blk.jaxdev
 
     def _iupac_scores(self, blk: _Block, codes: tuple, eidx, slen):
-        """Queue an exact-subset IUPAC XLA-engine dispatch for one block
-        (base 4+len(codes) fragment tables)."""
+        """Queue an exact-subset IUPAC dispatch for one block (base
+        4+len(codes) fragment tables).
+
+        Single-chip TPU scans run the Pallas kernel on the extended
+        tables (the table height is a kernel input; taller-than-VMEM
+        tables stream their length-4/5 rows from HBM exactly like the
+        base-4 regime B), so an ambiguous-read batch stays within ~the
+        pure-ACGT rate instead of dropping to the XLA engine.  The mesh
+        path keeps the XLA fallback."""
         p = self.params
         if blk.iupac_dev is None:
             blk.iupac_dev = {}
+        if (
+            self.use_pallas
+            and self.mesh is None
+            and blk.kpad <= PALLAS_MAX_KPAD
+        ):
+            import jax.numpy as jnp
+
+            from deciphon_tpu.models.frame import frag_layout
+            from deciphon_tpu.ops import viterbi_pallas as vp
+
+            if codes not in blk.iupac_dev:
+                base = 4 + len(codes)
+                blk.iupac_dev[codes] = vp.PallasBlock(
+                    self._iupac_block(blk, codes),
+                    group=blk.group, nsegs=blk.nsegs,
+                    nres=int(frag_layout(base)[0][4]),
+                )
+            pb = blk.iupac_dev[codes]
+            nseq = vp.pick_nseq(
+                len(slen), vp.nseq_cap(blk.klanes, blk.group)
+            )
+            seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=nseq)
+            return pb.scores(
+                jnp.asarray(seqinfo), jnp.asarray(seqlens), S,
+                multi_hits=p.multi_hits,
+                hmmer3_compat=p.hmmer3_compat,
+                interpret=self.pallas_interpret,
+            )
         if self.mesh is not None:
             from deciphon_tpu.parallel import pallas_scan as ps
 

@@ -88,13 +88,15 @@ NRES_B = FRAG_OFFSET[4]  # 84 rows cover fragment lengths 1..3
 STREAM_LENGTHS = (4, 5)
 
 
-def resident_ok(kpad: int, group: int = GROUP) -> bool:
+def resident_ok(kpad: int, group: int = GROUP, ntab: int = NTAB) -> bool:
     """Whether the full fragment table fits VMEM for this row shape:
-    NTAB * group * kpad * 4 B <= ~67 MB (leaves room for the DP rings
+    ntab * group * kpad * 4 B <= ~67 MB (leaves room for the DP rings
     inside the 100 MB scoped-vmem budget).  group-8 rows stay resident
     through kpad 1536 — measured faster than streaming there (v5e:
-    100.9 vs 93.2 GCUPS at kpad 1024, 92.8 vs 89.5 at 1536)."""
-    return kpad * group <= RESIDENT_MAX_KPAD * GROUP
+    100.9 vs 93.2 GCUPS at kpad 1024, 92.8 vs 89.5 at 1536).  Extended
+    (IUPAC) tables are ntab ~3x bigger, so their residency cutoff drops
+    proportionally."""
+    return kpad * group * ntab <= RESIDENT_MAX_KPAD * GROUP * NTAB
 
 
 def nseq_cap(kpad: int, group: int = GROUP) -> int:
@@ -319,7 +321,9 @@ def _kernel(
     # Segmented rows mask per segment (lane % segw) so neither the core
     # k->k+1 shift nor the D-chain scan leaks across profile boundaries.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
-    lane_in_seg = lane if nsegs == 1 else jax.lax.rem(lane, segw)
+    lane_in_seg = (
+        lane if nsegs == 1 else jax.lax.rem(lane, jnp.int32(segw))
+    )
     shifts = {1}
     sh = 1
     while sh < segw:
@@ -391,13 +395,14 @@ def _kernel(
         buffer ``buf``; ``npos`` is the number of positions computed in
         this chunk (bounds the stream prefetch)."""
         if n_stream:
-            sslot = jax.lax.rem(local, 2)
+            # jnp.int32 casts keep the x64-mode weak int64 out of rem
+            sslot = jax.lax.rem(jnp.int32(local), jnp.int32(2))
             stream_wait(sslot)
             nxt = local + 1
 
             @pl.when(nxt < npos)
             def _():
-                stream_issue(buf, nxt, jax.lax.rem(nxt, 2))
+                stream_issue(buf, nxt, jax.lax.rem(jnp.int32(nxt), jnp.int32(2)))
 
         accM = accI = accN = accJ = accC = accR = None
         for l in range(1, 6):
@@ -485,12 +490,12 @@ def _kernel(
         )
 
     def chunk(c, _):
-        buf = jax.lax.rem(c, 2)
+        buf = jax.lax.rem(jnp.int32(c), jnp.int32(2))
         eidx_dma(c, buf).wait()
 
         @pl.when(c + 1 < nch)
         def _():
-            eidx_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
+            eidx_dma(c + 1, jax.lax.rem(jnp.int32(c + 1), jnp.int32(2))).start()
 
         # partial last chunk: stop at the batch's longest sequence
         q_hi = jnp.clip(total_q - c * (CPOS // 5), 0, CPOS // 5)
@@ -610,8 +615,7 @@ def pack_block(block: ProfileBlock, group: int = GROUP, nsegs: int = 1):
     fm = np.asarray(block.fm, np.float32)
     fi = np.asarray(block.fi, np.float32)
     fn = np.asarray(block.fn, np.float32)
-    B, K, ntab = fm.shape
-    assert ntab == NTAB
+    B, K, ntab = fm.shape  # ntab: NTAB base-4, taller for IUPAC tables
     Kp, Bp, P = _pad_dims(B, K, group, nsegs)
     if Kp != K:
         fm = np.concatenate(
@@ -634,9 +638,9 @@ def pack_block(block: ProfileBlock, group: int = GROUP, nsegs: int = 1):
         )
 
     femis_m = (
-        padB(fm).reshape(P, nsegs, group, Kp, NTAB)
+        padB(fm).reshape(P, nsegs, group, Kp, ntab)
         .transpose(0, 4, 2, 1, 3)
-        .reshape(P, NTAB, group, nsegs * Kp)
+        .reshape(P, ntab, group, nsegs * Kp)
         .copy()
     )
     femis_in = _assemble_cols(
@@ -705,11 +709,18 @@ def run_block_raw(
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
-    dchain: str = "scan", nsegs: int = 1,
+    dchain: str = "scan", nsegs: int = 1, nres: int | None = None,
 ):
     """Unjitted kernel launch: trace-composable so callers can fuse
-    multiple launches into one jitted dispatch if they choose."""
+    multiple launches into one jitted dispatch if they choose.
+
+    The fragment-table height is taken from the inputs (base-4 tables
+    are NTAB rows; extended IUPAC tables are taller); ``nres`` is the
+    VMEM-resident row count under streaming (defaults to the base-4
+    length-1..3 prefix NRES_B — extended-table callers pass their own).
+    """
     SG, nch = seqinfo.shape[0], seqinfo.shape[1]
+    ntab = femis_in.shape[1]
     kernel = functools.partial(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
@@ -717,7 +728,10 @@ def run_block_raw(
         dchain=dchain, nsegs=nsegs,
     )
     grid = (P, SG)
-    nres = NTAB if n_stream == 0 else NRES_B
+    if n_stream == 0:
+        nres = ntab
+    elif nres is None:
+        nres = NRES_B
     ncols = nsegs * group
     stream_scratch = (
         [
@@ -740,7 +754,7 @@ def run_block_raw(
             pl.BlockSpec(memory_space=pltpu.HBM),  # seqlens -> SMEM DMA
             pl.BlockSpec(memory_space=pltpu.HBM),  # femis_m -> VMEM DMA
             pl.BlockSpec(
-                (1, NTAB, 2, ncols), lambda p, s: (p, 0, 0, 0),
+                (1, ntab, 2, ncols), lambda p, s: (p, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -785,7 +799,7 @@ _run = functools.partial(
     jax.jit,
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
-        "n_stream", "semiring", "group", "dchain", "nsegs",
+        "n_stream", "semiring", "group", "dchain", "nsegs", "nres",
     ),
 )(run_block_raw)
 
@@ -850,14 +864,16 @@ class PallasBlock:
     sublane along the lane axis (segmented rows for small cores)."""
 
     def __init__(self, block: ProfileBlock, n_stream: int | None = None,
-                 group: int = GROUP, nsegs: int = 1):
+                 group: int = GROUP, nsegs: int = 1,
+                 nres: int | None = None):
         femis_m, femis_in, trans, B = pack_block(block, group, nsegs)
         self._init(
             jnp.asarray(femis_m), jnp.asarray(femis_in),
-            jnp.asarray(trans), B, group, n_stream, nsegs,
+            jnp.asarray(trans), B, group, n_stream, nsegs, nres,
         )
 
-    def _init(self, femis_m, femis_in, trans, B, group, n_stream, nsegs=1):
+    def _init(self, femis_m, femis_in, trans, B, group, n_stream, nsegs=1,
+              nres=None):
         self.femis_m = femis_m
         self.femis_in = femis_in
         self.trans = trans
@@ -867,10 +883,16 @@ class PallasBlock:
         self.kpad = femis_m.shape[-1]  # kernel lane width (nsegs * segw)
         self.segw = self.kpad // nsegs  # per-profile padded width
         self.ngroups = femis_m.shape[0]
+        self.ntab = femis_m.shape[1]
         if n_stream is None:
-            n_stream = 0 if resident_ok(self.kpad, self.group) else 2
-        assert not (n_stream and nsegs > 1), "segmented rows are regime A"
+            n_stream = (
+                0 if resident_ok(self.kpad, self.group, self.ntab) else 2
+            )
         self.n_stream = n_stream
+        # VMEM-resident row count under streaming: the length-1..3 table
+        # prefix (3 of the 5 lookbacks every position).  NRES_B for the
+        # base-4 layout; extended-table callers pass their base's prefix.
+        self.nres = NRES_B if nres is None else nres
 
     @classmethod
     def from_profiles(cls, profiles, kpad: int | None = None,
@@ -937,7 +959,7 @@ class PallasBlock:
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
             semiring=semiring, group=self.group, dchain=dchain,
-            nsegs=self.nsegs,
+            nsegs=self.nsegs, nres=self.nres,
         )
         # [P, SG, nseq, nsegs*group] -> [S, B]: the kernel's compact
         # column index s*group+g matches packing order b = (p*nsegs+s)*

@@ -65,9 +65,12 @@ class ShardedPallasBlock:
         self.nsegs = nsegs
         self.kpad = femis_m.shape[-1]  # kernel lane width (nsegs * segw)
         self.ngroups = femis_m.shape[0]
+        self.ntab = femis_m.shape[1]
         if n_stream is None:
-            n_stream = 0 if vp.resident_ok(self.kpad, self.group) else 2
-        assert not (n_stream and nsegs > 1), "segmented rows are regime A"
+            n_stream = (
+                0 if vp.resident_ok(self.kpad, self.group, self.ntab)
+                else 2
+            )
         self.n_stream = n_stream
 
     def put_seqs(self, seqinfo: np.ndarray, seqlens: np.ndarray):

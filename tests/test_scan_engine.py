@@ -348,3 +348,34 @@ def test_best_hits_device_reduction(db):
         assert b.profile_idx == top.profile_idx
         assert b.lrt == pytest.approx(top.lrt, abs=1e-4)
     assert best[0].profile_idx == 2 and best[1].profile_idx == 0
+
+
+def test_scan_iupac_on_pallas_path(db, monkeypatch):
+    """IUPAC classes run the Pallas kernel on extended tables when
+    use_pallas is on (round-3 silently fell back to the XLA engine,
+    dropping ambiguous batches 2-5x in throughput)."""
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    built = []
+    orig_init = vp.PallasBlock.__init__
+
+    def spy_init(self, block, *a, **kw):
+        built.append(block.fm.shape[-1])  # table height (ntab)
+        return orig_init(self, block, *a, **kw)
+
+    monkeypatch.setattr(vp.PallasBlock, "__init__", spy_init)
+    target = db.profile(2)
+    read = consensus_dna(target)
+    noisy = read[:6] + "N" + read[7:]
+    eng = ScanEngine(db, ScanParams(lrt_threshold=10.0), use_pallas=True,
+                     pallas_interpret=True)
+    hits = eng.scan([SeqRecord(1, "n", noisy), SeqRecord(2, "c", read)])
+    h = {h.seq_id: h for h in hits if h.profile_idx == 2}
+    assert set(h) == {1, 2}
+    # an extended-table (base-5: 3906-row) PallasBlock was built + used
+    assert 3906 in built
+    from deciphon_tpu.models.alphabet import encode_extended
+
+    enc, codes = encode_extended(noisy)
+    ora = vr.viterbi_alt(target, enc, codes=codes)
+    assert h[1].alt_loglik == pytest.approx(ora.loglik, abs=1e-3)
