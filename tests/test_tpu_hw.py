@@ -1,0 +1,110 @@
+"""Real-hardware kernel parity at regime/layout boundary shapes.
+
+CPU tests run the Pallas kernel in interpret mode, which skips Mosaic
+tiling/layout lowering — a kernel can pass every CPU test and still
+miscompile on the chip.  This suite (skipped off-TPU) scores the shapes
+where the kernel switches structure against the XLA engine on hardware:
+
+  - kpad 768 group 16: largest fully-resident regime-A row
+  - kpad 896 group 8:  the group-8 boundary (db/partition small rows)
+  - kpad 1536 group 8: deepest resident group-8 row (viterbi_pallas
+    resident_ok) — one step further streams from HBM
+  - kpad 2048 group 8 n_stream 2: regime B row-gather streaming
+  - segmented tiers (32x8, 96x8, 256x3): boundary masks + E-reduction
+
+Run as part of the verify recipe:  pytest tests/test_tpu_hw.py -v
+(first run compiles each variant; the persistent cache makes repeats
+fast).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="requires the real TPU chip (interpret mode covers CPU)",
+)
+
+NSEQS = 8
+SEQ_LEN = 260  # crosses one SMEM chunk boundary (CPOS=255)
+
+
+@pytest.fixture(scope="module")
+def reads():
+    from deciphon_tpu.models.alphabet import DNA
+    from deciphon_tpu.ops import viterbi_jax as vj
+    from deciphon_tpu.ops.emissions import fragment_indices
+
+    rng = np.random.default_rng(0)
+    seqs = [
+        "".join(rng.choice(list("ACGT"), int(rng.integers(40, SEQ_LEN))))
+        for _ in range(NSEQS)
+    ]
+    eidx = np.stack(
+        [
+            vj.end_fragment_indices(
+                fragment_indices(DNA.encode(s), pad_to=2 * 255)
+            )
+            for s in seqs
+        ]
+    )
+    slen = np.array([len(s) for s in seqs], np.int32)
+    return eidx, slen
+
+
+_PROF_CACHE: dict[int, list] = {}
+
+
+def _profiles(core: int, n: int):
+    from deciphon_tpu.models.h3reader import build_profile
+    from deciphon_tpu.models.h3writer import random_h3
+
+    cached = _PROF_CACHE.setdefault(core, [])
+    while len(cached) < min(n, 16):
+        cached.append(
+            build_profile(random_h3(len(cached) + 1, core, peak=0.8))
+        )
+    return (cached * (n // len(cached) + 1))[:n]
+
+
+@pytest.mark.parametrize(
+    "core,group,nsegs,n_stream",
+    [
+        (768, 16, 1, 0),   # regime A ceiling at full group width
+        (896, 8, 1, 0),    # group-8 resident boundary
+        (1536, 8, 1, 0),   # deepest resident group-8 row
+        (2048, 8, 1, 2),   # regime B streaming
+        (32, 16, 8, 0),    # segmented K=256
+        (96, 16, 8, 0),    # segmented K=768 (resident ceiling)
+        (256, 16, 3, 0),   # odd segment count
+    ],
+)
+def test_boundary_shape_matches_xla(reads, core, group, nsegs, n_stream):
+    import jax.numpy as jnp
+
+    from deciphon_tpu.ops import viterbi_jax as vj
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    eidx, slen = reads
+    B = group * nsegs  # one row-set
+    profs = _profiles(core, B)
+    pb = vp.PallasBlock.from_profiles(
+        profs, kpad=core, group=group, nsegs=nsegs,
+        n_stream=n_stream or None,
+    )
+    assert pb.n_stream == n_stream
+    nseq = vp.pick_nseq(NSEQS, vp.nseq_cap(pb.kpad, group))
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=nseq)
+    alt, null = pb.scores(jnp.asarray(seqinfo), jnp.asarray(seqlens), S)
+    alt, null = np.asarray(alt), np.asarray(null)
+    assert np.isfinite(alt).all() and np.isfinite(null).all()
+    # spot-check 2 reads x 4 distinct profiles against the XLA engine
+    block = vj.build_profile_block(profs[:4], kpad=core)
+    ra, rn = map(
+        np.asarray,
+        vj.viterbi_scores(
+            block, jnp.asarray(eidx[:2]), jnp.asarray(slen[:2])
+        ),
+    )
+    np.testing.assert_allclose(alt[:2, :4], ra, atol=1e-3, rtol=2e-6)
+    np.testing.assert_allclose(null[:2, :4], rn, atol=1e-3, rtol=2e-6)
