@@ -280,6 +280,7 @@ class ScanEngine:
                 multi_hits=p.multi_hits,
                 hmmer3_compat=p.hmmer3_compat,
                 interpret=self.pallas_interpret,
+                trim_rows=False,  # gate trims at host sync
             )
         if self.mesh is not None:
             from deciphon_tpu.parallel import pallas_scan as ps
@@ -362,6 +363,7 @@ class ScanEngine:
                 multi_hits=self.params.multi_hits,
                 hmmer3_compat=self.params.hmmer3_compat,
                 interpret=self.pallas_interpret,
+                trim_rows=False,  # the production dispatch variant
             )
             np.asarray(alt)
             np.asarray(null)
@@ -523,11 +525,14 @@ class ScanEngine:
                                 jnp.asarray(seqinfo), jnp.asarray(seqlens), S
                             )
                     seqinfo, seqlens, S = seqinfo_of[nseq]
+                    # trim_rows=False: one dispatch per block; padded
+                    # rows are exactly NEG and trimmed at host sync
                     alt, null = self._pallas_block(blk).scores(
                         seqinfo, seqlens, S,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
                         interpret=self.pallas_interpret,
+                        trim_rows=False,
                     )
                 elif self.mesh is not None:
                     from deciphon_tpu.parallel import pallas_scan as ps
@@ -573,8 +578,10 @@ class ScanEngine:
         # backpointer dispatch per group instead of one per hit
         survivors: list[tuple] = []
         for seq_ids, blk, codes, alt, null in pending:
-            alt = np.asarray(alt, dtype=np.float64)
-            null = np.asarray(null, dtype=np.float64)
+            # [:len(seq_ids)]: drop batch-padding rows (trim_rows=False
+            # dispatches return all SG*nseq rows)
+            alt = np.asarray(alt, dtype=np.float64)[: len(seq_ids)]
+            null = np.asarray(null, dtype=np.float64)[: len(seq_ids)]
             lrt = -2.0 * (null - alt)
             ok = np.isfinite(lrt) & (lrt >= p.lrt_threshold)
             ok &= alt > vj.NEG / 2

@@ -804,6 +804,57 @@ _run = functools.partial(
 )(run_block_raw)
 
 
+def run_scores_raw(
+    femis_m, femis_in, trans, seqinfo, seqlens,
+    *, K: int, P: int, nseq: int, nprofiles: int,
+    multi_hits: bool, hmmer3_compat: bool, interpret: bool,
+    n_stream: int = 0, semiring: str = "max", group: int = GROUP,
+    dchain: str = "scan", nsegs: int = 1, nres: int | None = None,
+):
+    """Kernel + output epilogue in ONE traceable function.
+
+    The epilogue (transpose [P,SG,nseq,ncols] -> [rows, profiles],
+    profile-column trim) used to run as 3 eager ops per output — each a
+    separate dispatch, which over a remote-execution relay cost more
+    wall time per scan than the kernels themselves once the block count
+    grew.  Fused under one jit, each block is exactly one dispatch.
+
+    The SEQUENCE-row trim ([:nseqs]) deliberately stays OUT of the jit:
+    rows only vary with batch size, and keeping them out means a 173-
+    read batch reuses the 192-read executable instead of recompiling
+    the whole kernel for a different static slice bound.  Padding rows
+    belong to length-0 sequences whose scores stay exactly NEG, so the
+    LRT gate can never select them.
+    """
+    alt, null = run_block_raw(
+        femis_m, femis_in, trans, seqinfo, seqlens,
+        K=K, P=P, nseq=nseq,
+        multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+        interpret=interpret, n_stream=n_stream, semiring=semiring,
+        group=group, dchain=dchain, nsegs=nsegs, nres=nres,
+    )
+    SG = alt.shape[1]
+    ncols = nsegs * group
+
+    def epi(x):
+        return (
+            jnp.transpose(x, (1, 2, 0, 3))
+            .reshape(SG * nseq, P * ncols)[:, :nprofiles]
+        )
+
+    return epi(alt), epi(null)
+
+
+_run_scores = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
+        "nprofiles", "n_stream", "semiring", "group", "dchain", "nsegs",
+        "nres",
+    ),
+)(run_scores_raw)
+
+
 def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:
     """Smallest supported per-instance sequence stack >= the batch (bigger
     stacks amortize the cross-lane roll fixed cost; measured on v5e:
@@ -945,35 +996,35 @@ class PallasBlock:
         interpret: bool = False,
         semiring: str = "max",
         dchain: str = "scan",
+        trim_rows: bool = True,
     ):
         """(alt [S, B], null [S, B]) device arrays for a packed seq batch.
         semiring="logsumexp" runs the forward algorithm in the same
         kernel (max -> logaddexp / LSE swap).  dchain="off" is an
-        ablation-only timing mode with wrong numerics."""
+        ablation-only timing mode with wrong numerics.
+
+        The kernel and its output epilogue (the compact column index
+        s*group+g matches packing order b = (p*nsegs+s)*group+g, so one
+        transpose+reshape recovers profiles in block order) run as ONE
+        jitted dispatch.  ``trim_rows=False`` skips the eager [:nseqs]
+        row trim and returns all SG*nseq rows — batch-padding rows are
+        exactly NEG; bulk callers (ScanEngine) trim at their host sync
+        instead of paying one more dispatch per block here."""
         # layout fixed by make_seqinfo: [SG, nch, SEQROWS, nseq*WC/SEQROWS]
         nseq = seqinfo.shape[2] * seqinfo.shape[3] // WC
-        alt, null = _run(
+        alt, null = _run_scores(
             self.femis_m, self.femis_in, self.trans,
             seqinfo, seqlens,
             K=self.kpad, P=self.ngroups, nseq=nseq,
+            nprofiles=self.nprofiles,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
             semiring=semiring, group=self.group, dchain=dchain,
             nsegs=self.nsegs, nres=self.nres,
         )
-        # [P, SG, nseq, nsegs*group] -> [S, B]: the kernel's compact
-        # column index s*group+g matches packing order b = (p*nsegs+s)*
-        # group+g, so one reshape recovers profiles in block order
-        P, SG = alt.shape[0], alt.shape[1]
-        ncols = self.nsegs * self.group
-        alt = (
-            jnp.transpose(alt, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * ncols)[:nseqs, : self.nprofiles]
-        )
-        null = (
-            jnp.transpose(null, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * ncols)[:nseqs, : self.nprofiles]
-        )
+        if trim_rows and alt.shape[0] != nseqs:
+            alt = alt[:nseqs]
+            null = null[:nseqs]
         return alt, null
 
 

@@ -82,41 +82,34 @@ class ShardedPallasBlock:
 
     def scores(self, seqinfo, seqlens, nseqs: int,
                multi_hits: bool = True, hmmer3_compat: bool = False,
-               interpret: bool = False):
+               interpret: bool = False, trim_rows: bool = True):
         nseq = seqinfo.shape[2] * seqinfo.shape[3] // vp.WC
         alt, null = _run_sharded(
             self.mesh, self.femis_m, self.femis_in, self.trans,
             seqinfo, seqlens,
-            K=self.kpad, nseq=nseq,
+            K=self.kpad, nseq=nseq, nprofiles=self.nprofiles,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
             group=self.group, nsegs=self.nsegs,
         )
-        P_, SG = alt.shape[0], alt.shape[1]
-        ncols = self.nsegs * self.group
-        alt = (
-            jnp.transpose(alt, (1, 2, 0, 3))
-            .reshape(SG * nseq, P_ * ncols)[:nseqs, : self.nprofiles]
-        )
-        null = (
-            jnp.transpose(null, (1, 2, 0, 3))
-            .reshape(SG * nseq, P_ * ncols)[:nseqs, : self.nprofiles]
-        )
+        if trim_rows and alt.shape[0] != nseqs:
+            alt = alt[:nseqs]
+            null = null[:nseqs]
         return alt, null
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "K", "nseq", "multi_hits", "hmmer3_compat", "interpret",
-        "n_stream", "group", "nsegs",
+        "mesh", "K", "nseq", "nprofiles", "multi_hits", "hmmer3_compat",
+        "interpret", "n_stream", "group", "nsegs",
     ),
 )
 def _run_sharded(mesh, femis_m, femis_in, trans, seqinfo, seqlens, *,
-                 K, nseq, multi_hits, hmmer3_compat, interpret, n_stream,
-                 group=vp.GROUP, nsegs=1):
+                 K, nseq, nprofiles, multi_hits, hmmer3_compat, interpret,
+                 n_stream, group=vp.GROUP, nsegs=1):
     def local(fm, fin, tr, si, sl):
-        return vp._run(
+        return vp.run_block_raw(
             fm, fin, tr, si, sl,
             K=K, P=fm.shape[0], nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
@@ -132,7 +125,21 @@ def _run_sharded(mesh, femis_m, femis_in, trans, seqinfo, seqlens, *,
         out_specs=(P("profiles", "seqs"), P("profiles", "seqs")),
         check_vma=False,
     )
-    return fn(femis_m, femis_in, trans, seqinfo, seqlens)
+    alt, null = fn(femis_m, femis_in, trans, seqinfo, seqlens)
+    # output epilogue fused into the same dispatch (the single-chip
+    # path's run_scores_raw, minus the shard_map): [P,SG,nseq,ncols] ->
+    # [rows, profiles] with the profile-column trim; the row trim stays
+    # out so batch-size changes reuse the executable
+    P_, SG = alt.shape[0], alt.shape[1]
+    ncols = nsegs * group
+
+    def epi(x):
+        return (
+            jnp.transpose(x, (1, 2, 0, 3))
+            .reshape(SG * nseq, P_ * ncols)[:, :nprofiles]
+        )
+
+    return epi(alt), epi(null)
 
 
 def put_sharded_block(mesh: Mesh, block: vj.ProfileBlock) -> tuple:

@@ -38,4 +38,13 @@ def enable() -> str | None:
     # multi-second first-call round trips per process, and the default
     # 1.0 s floor silently excluded them from the cache
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Pallas/Mosaic kernels embed FULL caller tracebacks in their MLIR
+    # locations, and those live inside the custom-call backend_config —
+    # which the cache-key canonicalizer does NOT strip (it only strips
+    # HLO metadata).  With full tracebacks on, the same kernel invoked
+    # from two different scripts (daemon vs CLI vs bench) hashes to two
+    # different keys and every process recompiles from scratch
+    # (measured: 23.6 s vs 1.9 s for one kpad-64 variant).  Truncating
+    # locations to the jit-local frame makes keys caller-independent.
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
     return cache_dir
