@@ -188,10 +188,13 @@ def check_parity(block, eidx, slen, out) -> float:
 # ---------------------------------------------------------------------------
 
 PFAM_NPROF = int(os.environ.get("BENCH_PFAM_NPROF", 384))
-# 256 reads per scan batch: a production daemon streams DCP_SCAN_BATCH
-# (default 1024) reads per engine.scan, so per-scan fixed costs (seqinfo
-# packing, dispatch latency over the tunnel, result pulls) amortize —
-# 64-read batches were measuring mostly overhead.
+# 256 reads per scan batch: enough to amortize per-scan fixed costs
+# (fused dispatch round trip, concatenated result pull), small enough
+# that the per-scan seqinfo upload (~10.5 MB/kernel-tier per 1024
+# reads) doesn't serialize ahead of compute on the tunneled relay —
+# measured 2.05 ms/read at 256 vs 2.28 ms/read at 1024
+# (BENCH_PFAM_NSEQS=1024; on directly-attached chips the bigger batch
+# should win back its better stack packing).
 PFAM_NSEQS = int(os.environ.get("BENCH_PFAM_NSEQS", 256))
 
 

@@ -73,36 +73,26 @@ SEG_TIERS: tuple[tuple[int, int], ...] = (
 )
 
 
-def _block_shape(
-    kmax: int, n: int, lane: int, group: int,
+def _row_candidates(
+    kmax: int, lane: int, group: int,
     small_group_kpad: int, small_group: int, seg: bool,
-) -> tuple[float, tuple[int, int, int]]:
-    """Best (padded work, (kpad, group, nsegs)) for a block of ``n``
-    profiles whose largest core is ``kmax``.
-
-    Candidates: the classic unsegmented row (per-profile width = lane-
-    rounded kmax; narrow sublane group above ``small_group_kpad``), plus
-    every segmented tier wide enough for kmax, including shrunk-nsegs
-    variants whose lane-aligned W*nsegs row still fits the resident
-    budget — so an underfull block can trade segment count for slot
-    padding.  Ties prefer wider kernel rows (higher measured GCUPS)."""
+):
+    """Row shapes that can hold a profile of core size ``kmax``:
+    (kpad, group, nsegs, capacity, lane_cost).  lane_cost = group *
+    klanes = the row's compute footprint per position."""
     kpad_u = max(lane, (kmax + lane - 1) // lane * lane)
     g_u = small_group if kpad_u > small_group_kpad else group
-    cands = [(kpad_u, g_u, 1)]
+    cands = [(kpad_u, g_u, 1, g_u, g_u * kpad_u)]
     if seg:
         for bound, smax in SEG_TIERS:
             if kmax <= bound:
                 for s in range(2, smax + 1):
                     if (bound * s) % lane == 0:
-                        cands.append((bound, group, s))
-
-    def cost(c):
-        w, g, s = c
-        slots = g * s
-        return ((n + slots - 1) // slots * slots * w, -w * s)
-
-    best = min(cands, key=cost)
-    return float(cost(best)[0]), best
+                        cands.append(
+                            (bound, group, s, group * s,
+                             group * s * bound)
+                        )
+    return cands
 
 
 def pack_profile_rows(
@@ -114,88 +104,113 @@ def pack_profile_rows(
     seg: bool = True,
     block_penalty: float = 0.01,
 ) -> list[tuple[int, int, int, np.ndarray]]:
-    """Minimum-padding block packing for the batched Viterbi kernel.
+    """Minimum-padding packing for the batched Viterbi kernel, one ROW
+    at a time.
 
-    Profiles sorted by core size DESCENDING are cut into contiguous
-    blocks; each block's shape comes from ``_block_shape``: cores above
-    the top SEG_TIER get the classic one-profile-per-sublane row whose
-    per-profile padded width (kpad) is the lane-rounded block maximum,
-    smaller cores pack ``nsegs`` profiles per sublane into kpad-lane
-    segments of a kpad*nsegs-lane kernel row.  Block boundaries are
-    chosen by an exact dynamic program over tier-crossing cut points
-    minimizing total padded work + ``block_penalty`` * total work per
-    block (each block is one kernel compile variant + dispatch, so the
-    penalty trades padding efficiency against cold-start compiles).
+    Profiles sorted by core size DESCENDING are packed into sublane
+    rows by an exact DP over row shapes: at each position the DP picks
+    a row shape (classic one-profile-per-sublane row at the lane-rounded
+    width of the row's LARGEST core — narrow ``small_group`` sublanes
+    above ``small_group_kpad`` — or a segmented SEG_TIER row packing
+    ``group*nsegs`` small cores at W lanes each) and consumes that row's
+    slot capacity.  Per-ROW widths are the crucial difference from a
+    per-block DP: a block spanning cores 385..640 pads everything to
+    640, while per-row packing gives each sorted 16-profile row its own
+    width (the round-3 greedy got this right; the round-4 block DP
+    regressed it, costing 6% padded work on the bench DB).
 
-    Sorted-contiguous blocks make within-block spread waste small; the
-    DP also merges sparse tiers upward so a tiny DB doesn't pad out to
-    128 slots per tier.  Rows whose unsegmented kpad exceeds
-    ``small_group_kpad`` use the narrower ``small_group`` sublane width:
-    a lone huge profile (the 4096-core envelope limit, reference
-    include/deciphon/core/limits.h:11) wastes half as many padding
-    sublanes, and group-8 rows keep the fragment table VMEM-resident
-    through kpad 1536 (viterbi_pallas.resident_ok — measured faster
-    than streaming there).
+    Cost ties prefer UNSEGMENTED rows: segmentation only pays when it
+    strictly shrinks lane work, because the per-segment bridge ops lower
+    the row's lane rate (measured ~0.5-0.7x, benchmarks/seg_ladder.py —
+    a W=256 x2 row costs the same lanes as a 256 row but runs slower).
+
+    Rows sharing (kpad, group, nsegs) merge into one dispatch block;
+    ``block_penalty`` (x total core mass) then merges whole blocks
+    upward while the extra padding stays under the penalty — each block
+    is one kernel compile variant + dispatch, so the penalty trades
+    padding efficiency against cold-start compiles and dispatch count.
 
     This replaces the reference's balanced byte partitions
-    (src/db/profile_reader.c:44-72) for the dense-tensor era: padding
-    efficiency on the Pfam-shaped bench DB went 0.17 (round-2 tier
-    buckets) -> 0.61 (round-3 sorted rows) -> ~0.85 (round-4 segmented
-    rows, profile-axis only).
-
-    Returns a list of (kpad, group, nsegs, profile-index array) blocks
-    where kpad is the PER-PROFILE padded width (kernel rows are
-    kpad * nsegs lanes wide); every index appears exactly once.
+    (src/db/profile_reader.c:44-72) for the dense-tensor era.  Returns
+    a list of (kpad, group, nsegs, profile-index array) blocks where
+    kpad is the PER-PROFILE padded width (kernel rows are kpad * nsegs
+    lanes wide); every index appears exactly once.
     """
     core_sizes = np.asarray(core_sizes)
     n = len(core_sizes)
-    order = np.argsort(-core_sizes, kind="stable")
     if n == 0:
         return []
+    order = np.argsort(-core_sizes, kind="stable")
     sorted_cores = core_sizes[order]
 
-    # candidate cut points: positions where the minimal grid width
-    # changes (blocks made of whole grid-tiers are never beaten by
-    # blocks splitting a tier: same W, strictly more slot padding)
-    grid = [w for w, _ in SEG_TIERS] if seg else []
-    kmax0 = int(sorted_cores[0])
-    top = max(lane, (kmax0 + lane - 1) // lane * lane)
-    grid = sorted(set(grid) | {w for w in range(lane, top + lane, lane)})
+    # exact DP over row shapes, position i = first unpacked profile
+    best = np.full(n + 1, np.inf)
+    best[n] = 0.0
+    choice: list[tuple[int, int, int, int] | None] = [None] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        kmax = int(sorted_cores[i])
+        for kpad, g, s, cap, cost in _row_candidates(
+            kmax, lane, group, small_group_kpad, small_group, seg
+        ):
+            j = min(n, i + cap)
+            total = cost + best[j]
+            # strict < : candidate list puts the unsegmented row first,
+            # so equal-cost segmented rows never displace it
+            if total < best[i]:
+                best[i] = total
+                choice[i] = (kpad, g, s, j)
 
-    def gridw(c: int) -> int:
-        for w in grid:
-            if c <= w:
-                return w
-        return grid[-1]
+    # collect rows -> group by shape into dispatch blocks (block order:
+    # widest first, matching the sorted profile walk)
+    blocks: dict[tuple[int, int, int], list[np.ndarray]] = {}
+    shape_order: list[tuple[int, int, int]] = []
+    i = 0
+    while i < n:
+        kpad, g, s, j = choice[i]
+        key = (kpad, g, s)
+        if key not in blocks:
+            blocks[key] = []
+            shape_order.append(key)
+        blocks[key].append(order[i:j])
+        i = j
 
-    widths = np.array([gridw(int(c)) for c in sorted_cores])
-    cuts = [0] + (np.nonzero(widths[1:] != widths[:-1])[0] + 1).tolist()
-    cuts.append(n)
+    out = [
+        (kpad, g, s, np.concatenate(blocks[(kpad, g, s)]))
+        for (kpad, g, s) in shape_order
+    ]
 
-    ncuts = len(cuts)
-    penalty = block_penalty * float(np.sum(sorted_cores))
-    best = [np.inf] * ncuts  # best[i] = min cost packing sorted[:cuts[i]]
-    choice: list[tuple[int, tuple[int, int, int]] | None] = [None] * ncuts
-    best[0] = 0.0
-    for j in range(1, ncuts):
-        for i in range(j):
-            kmax = int(sorted_cores[cuts[i]])
-            cost, shape = _block_shape(
-                kmax, cuts[j] - cuts[i], lane, group,
-                small_group_kpad, small_group, seg,
-            )
-            total = best[i] + cost + penalty
-            if total < best[j]:
-                best[j] = total
-                choice[j] = (i, shape)
-    blocks: list[tuple[int, int, int, np.ndarray]] = []
-    j = ncuts - 1
-    while j > 0:
-        i, (kpad, g, s) = choice[j]
-        blocks.append((kpad, g, s, order[cuts[i] : cuts[j]]))
-        j = i
-    blocks.reverse()
-    return blocks
+    # merge-upward pass: absorbing a whole block into the nearest wider
+    # compatible block costs (width delta + slot padding) lanes; do it
+    # while that stays under the penalty budget — fewer blocks = fewer
+    # compile variants and dispatches
+    budget = block_penalty * float(np.sum(sorted_cores))
+    merged = True
+    while merged and len(out) > 1:
+        merged = False
+        for bi in range(len(out) - 1, 0, -1):
+            kpad, g, s, idxs = out[bi]
+            # nearest wider block whose per-profile width fits ours
+            for ti in range(bi - 1, -1, -1):
+                tk, tg, ts, tidx = out[ti]
+                if tk >= kpad:
+                    slots = tg * ts
+                    now = (
+                        -(-len(tidx) // slots) * slots * tk
+                        + -(-len(idxs) // (g * s)) * (g * s) * kpad
+                    )
+                    joined = (
+                        -(-(len(tidx) + len(idxs)) // slots) * slots * tk
+                    )
+                    if joined - now <= budget:
+                        out[ti] = (
+                            tk, tg, ts, np.concatenate([tidx, idxs])
+                        )
+                        del out[bi]
+                        merged = True
+                    break
+            if merged:
+                break
+    return out
 
 
 def bucket_by_core_size(

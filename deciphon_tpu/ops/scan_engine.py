@@ -19,6 +19,8 @@ two-pass batched design:
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -81,6 +83,41 @@ class BestHit:
     alt_loglik: float
     null_loglik: float
     lrt: float
+
+
+class _SharedPull:
+    """One host pull shared by many column views (the fused dispatch
+    returns every block's scores as one concatenated device matrix)."""
+
+    __slots__ = ("dev", "_np")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._np = None
+
+    def numpy(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self.dev)
+            self.dev = None  # free the device reference after the pull
+        return self._np
+
+
+class _Cols:
+    """Lazy [rows, lo:hi] column slice of a _SharedPull; ``np.asarray``
+    triggers (at most) one device->host transfer for ALL blocks."""
+
+    __slots__ = ("parent", "lo", "hi")
+
+    def __init__(self, parent: _SharedPull, lo: int, hi: int):
+        self.parent = parent
+        self.lo = lo
+        self.hi = hi
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.parent.numpy()[:, self.lo : self.hi]
+        if dtype is not None and a.dtype != np.dtype(dtype):
+            a = a.astype(dtype)
+        return a
 
 
 class _Block:
@@ -160,6 +197,17 @@ class ScanEngine:
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
         self.traceback = traceback
+        # Single-chip scans fuse every block's kernel into ONE jitted
+        # dispatch per scan (viterbi_pallas.fused_scores): over the
+        # remote-execution relay, per-block dispatch gaps cost more than
+        # the kernels.  DCP_FUSE_SCAN=0 falls back to per-block
+        # dispatches (same numerics; tests/test_scan_engine.py pins
+        # fused == per-block).
+        self.fuse = (
+            use_pallas
+            and mesh is None
+            and os.environ.get("DCP_FUSE_SCAN", "1") != "0"
+        )
         self._blocks: list[_Block] = []
         self._kpad_of: dict[int, int] = {}
         # subset = one share-nothing DB partition (the reference's
@@ -169,10 +217,18 @@ class ScanEngine:
         self.subset = subset
         sizes = db.core_sizes if subset is None else db.core_sizes[subset]
         if use_pallas:
-            # DP-packed blocks: segmented rows for small cores, classic
-            # rows above; huge-core rows are half-width so the 4096
-            # envelope tail wastes less
-            packed = pack_profile_rows(sizes, lane=lane)
+            # Per-row DP packing: each sorted sublane row gets its own
+            # lane-rounded width; huge-core rows use half-width sublane
+            # groups so the 4096-envelope tail wastes less.  Segmented
+            # tiers (DCP_SEG=1) pack several small cores per row — they
+            # win per-block microbenches but LOSE end-to-end on
+            # Pfam-shaped DBs (A/B in docs/PERFORMANCE.md: the segment
+            # bridges cut the row's lane rate ~0.5-0.7x, outweighing the
+            # ~8% padded-work saving), so they default off.
+            packed = pack_profile_rows(
+                sizes, lane=lane,
+                seg=os.environ.get("DCP_SEG", "0") == "1",
+            )
         else:
             # XLA engine has no sublane-row structure; group is notional
             packed = pack_profile_rows(
@@ -344,6 +400,57 @@ class ScanEngine:
         nch = Lp // vp.CPOS
         seqs_mult = self.mesh.shape["seqs"] if self.mesh is not None else 1
 
+        def dummy_batch(nseq: int):
+            sg = (nseqs + nseq - 1) // nseq
+            sg = (sg + seqs_mult - 1) // seqs_mult * seqs_mult
+            seqinfo = jnp.zeros(
+                (sg, nch, vp.SEQROWS, nseq * vp.WC // vp.SEQROWS),
+                jnp.int32,
+            )
+            seqlens = jnp.ones((sg, vp.SEQROWS, vp.SLPAD), jnp.int32)
+            return seqinfo, seqlens
+
+        if self.fuse:
+            # production scans run ONE fused dispatch — warm exactly it
+            # (per-block warms would compile 9 modules never used again)
+            blocks = [
+                b for b in self._blocks if b.kpad <= PALLAS_MAX_KPAD
+            ]
+            with lock:
+                tier_of: dict[int, int] = {}
+                seqinfos, seqlens_list = [], []
+                metas, tensors = [], []
+                for blk in blocks:
+                    pb = self._pallas_block(blk)
+                    nseq = vp.pick_nseq(
+                        nseqs, vp.nseq_cap(blk.klanes, blk.group)
+                    )
+                    if nseq not in tier_of:
+                        tier_of[nseq] = len(seqinfos)
+                        si, sl = dummy_batch(nseq)
+                        seqinfos.append(si)
+                        seqlens_list.append(sl)
+                    metas.append(
+                        vp.BlockMeta(
+                            K=pb.kpad, P=pb.ngroups, nseq=nseq,
+                            nprofiles=pb.nprofiles, n_stream=pb.n_stream,
+                            group=pb.group, nsegs=pb.nsegs, nres=pb.nres,
+                            seq_slot=tier_of[nseq],
+                        )
+                    )
+                    tensors.append((pb.femis_m, pb.femis_in, pb.trans))
+                if tensors:
+                    alt, null = vp.fused_scores(
+                        tuple(tensors), tuple(seqinfos),
+                        tuple(seqlens_list), metas=tuple(metas),
+                        multi_hits=self.params.multi_hits,
+                        hmmer3_compat=self.params.hmmer3_compat,
+                        interpret=self.pallas_interpret,
+                    )
+                    np.asarray(alt)
+                    np.asarray(null)
+            return time.perf_counter() - t0
+
         def warm_block(blk: _Block):
             pb = self._pallas_block(blk)
             nseq = vp.pick_nseq(nseqs, vp.nseq_cap(blk.klanes, blk.group))
@@ -406,10 +513,24 @@ class ScanEngine:
             rows = jnp.arange(alt.shape[0])
             return bi, lrt[rows, bi], alt[rows, bi], null[rows, bi]
 
+        def reduce_entry(alt, null):
+            # fused dispatches hand back lazy column views of ONE
+            # already-concatenated device matrix — the host transfer is
+            # a single pull for all blocks, so reduce in numpy instead
+            # of round-tripping each slice back to the device
+            if isinstance(alt, _Cols):
+                a = np.asarray(alt)
+                n = np.asarray(null)
+                lrt = np.where(a > vj.NEG / 2, -2.0 * (n - a), -np.inf)
+                bi = np.argmax(lrt, axis=1)
+                rows = np.arange(a.shape[0])
+                return bi, lrt[rows, bi], a[rows, bi], n[rows, bi]
+            return block_best(alt, null)
+
         with trace.device_trace("best_hits"):
             encoded, pending = self._queue_dispatches(seqs)
             reduced = [
-                (seq_ids, blk, block_best(alt, null))
+                (seq_ids, blk, reduce_entry(alt, null))
                 for seq_ids, blk, _, alt, null in pending
             ]
         self._finish_scan()
@@ -483,6 +604,7 @@ class ScanEngine:
             slen = np.array([len(encoded[si]) for si in seq_ids], np.int32)
             seqinfo_of: dict[int, tuple] = {}  # nseq stack -> packed batch
             len_sum = int(slen.sum())
+            fuse_blocks: list[_Block] = []
             for blk in self._blocks:
                 counters.consume(
                     len_sum, int(self.db.core_sizes[blk.chunk].sum())
@@ -490,6 +612,12 @@ class ScanEngine:
                 if codes:
                     used_iupac = True
                     alt, null = self._iupac_scores(blk, codes, eidx, slen)
+                elif (
+                    self.fuse
+                    and blk.kpad <= PALLAS_MAX_KPAD
+                ):
+                    fuse_blocks.append(blk)
+                    continue
                 elif self.use_pallas and blk.kpad <= PALLAS_MAX_KPAD:
                     from deciphon_tpu.ops import viterbi_pallas as vp
 
@@ -555,9 +683,64 @@ class ScanEngine:
                         hmmer3_compat=p.hmmer3_compat,
                     )
                 pending.append((seq_ids, blk, codes, alt, null))
+            if fuse_blocks:
+                pending.extend(
+                    self._fused_dispatch(fuse_blocks, eidx, slen, seq_ids)
+                )
         self._counters = counters
         self._used_iupac = used_iupac
         return encoded, pending
+
+    def _fused_dispatch(
+        self, blocks: list[_Block], eidx, slen, seq_ids: list[int]
+    ) -> list[tuple]:
+        """One jitted dispatch covering every eligible block's kernel +
+        epilogue (viterbi_pallas.fused_scores).  Sequence batches pack
+        once per distinct nseq stack and blocks reference their tier by
+        static index."""
+        import jax.numpy as jnp
+
+        from deciphon_tpu.ops import viterbi_pallas as vp
+
+        p = self.params
+        tier_of: dict[int, int] = {}
+        seqinfos, seqlens_list = [], []
+        metas, tensors = [], []
+        for blk in blocks:
+            pb = self._pallas_block(blk)
+            nseq = vp.pick_nseq(
+                len(seq_ids), vp.nseq_cap(blk.klanes, blk.group)
+            )
+            if nseq not in tier_of:
+                si, sl, _ = vp.make_seqinfo(eidx, slen, nseq=nseq)
+                tier_of[nseq] = len(seqinfos)
+                seqinfos.append(jnp.asarray(si))
+                seqlens_list.append(jnp.asarray(sl))
+            metas.append(
+                vp.BlockMeta(
+                    K=pb.kpad, P=pb.ngroups, nseq=nseq,
+                    nprofiles=pb.nprofiles, n_stream=pb.n_stream,
+                    group=pb.group, nsegs=pb.nsegs, nres=pb.nres,
+                    seq_slot=tier_of[nseq],
+                )
+            )
+            tensors.append((pb.femis_m, pb.femis_in, pb.trans))
+        alt_cat, null_cat = vp.fused_scores(
+            tuple(tensors), tuple(seqinfos), tuple(seqlens_list),
+            metas=tuple(metas),
+            multi_hits=p.multi_hits, hmmer3_compat=p.hmmer3_compat,
+            interpret=self.pallas_interpret,
+        )
+        alt_sh, null_sh = _SharedPull(alt_cat), _SharedPull(null_cat)
+        pending, lo = [], 0
+        for blk, m in zip(blocks, metas, strict=True):
+            hi = lo + m.nprofiles
+            pending.append(
+                (seq_ids, blk, (), _Cols(alt_sh, lo, hi),
+                 _Cols(null_sh, lo, hi))
+            )
+            lo = hi
+        return pending
 
     def _finish_scan(self) -> None:
         """Post-sync bookkeeping shared by scan/best_hits."""

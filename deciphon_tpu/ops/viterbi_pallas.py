@@ -64,6 +64,7 @@ match-table traffic is unchanged.
 from __future__ import annotations
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -853,6 +854,91 @@ _run_scores = functools.partial(
         "nres",
     ),
 )(run_scores_raw)
+
+
+class BlockMeta(typing.NamedTuple):
+    """Static per-block kernel parameters for the fused scan dispatch.
+    ``seq_slot`` indexes which packed sequence tier (by nseq stack) this
+    block consumes."""
+
+    K: int
+    P: int
+    nseq: int
+    nprofiles: int
+    n_stream: int
+    group: int
+    nsegs: int
+    nres: int
+    seq_slot: int
+
+
+def fused_scores_raw(
+    tensors, seqinfos, seqlens,
+    *, metas: tuple, multi_hits: bool, hmmer3_compat: bool,
+    interpret: bool, semiring: str = "max", dchain: str = "scan",
+):
+    """Every block's kernel + epilogue in ONE traced function — one
+    device dispatch per scan instead of one per block.
+
+    Over a remote-execution relay each dispatch costs a host round trip
+    and the device idles between kernels; with ~9 blocks per Pfam-shaped
+    DB those gaps dominated the warm scan.  Fusing lets the device run
+    block after block back-to-back.  The price is a monolithic compile
+    keyed on the whole block mix (``metas`` is static) — acceptable
+    because a pressed DB's block mix is fixed, the persistent cache
+    (utils/jaxcache.py) makes it one-time per machine, and the relay
+    serializes per-module compiles anyway so N small compiles cost about
+    the same wall time as one big one.
+
+    ``tensors``: [(femis_m, femis_in, trans)] per block;
+    ``seqinfos``/``seqlens``: packed sequence tiers, indexed by each
+    meta's ``seq_slot``.  Returns ONE (alt, null) pair: every block's
+    [rows, nprofiles] matrix concatenated along the profile axis in
+    input order (columns split by the metas' nprofiles).  Concatenating
+    ON DEVICE matters as much as fusing the kernels: per-block outputs
+    meant 2×nblocks host pulls serialized after the program finished —
+    ~90 ms relay latency each, which cost more than the compute
+    (measured 1.48 s vs 0.61 s warm scan).  Rows are NOT trimmed to the
+    true batch (see run_scores_raw); blocks whose sequence tier rounds
+    to fewer rows pad with NEG.
+    """
+    if len(tensors) != len(metas):
+        raise ValueError(
+            f"{len(tensors)} tensor triples vs {len(metas)} metas"
+        )
+    outs = []
+    for (fm, fin, tr), m in zip(tensors, metas, strict=True):
+        outs.append(
+            run_scores_raw(
+                fm, fin, tr, seqinfos[m.seq_slot], seqlens[m.seq_slot],
+                K=m.K, P=m.P, nseq=m.nseq, nprofiles=m.nprofiles,
+                multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+                interpret=interpret, n_stream=m.n_stream,
+                semiring=semiring, group=m.group, dchain=dchain,
+                nsegs=m.nsegs, nres=m.nres,
+            )
+        )
+    rows = max(a.shape[0] for a, _ in outs)
+
+    def padrows(x):
+        if x.shape[0] == rows:
+            return x
+        return jnp.pad(
+            x, ((0, rows - x.shape[0]), (0, 0)), constant_values=NEG
+        )
+
+    alt = jnp.concatenate([padrows(a) for a, _ in outs], axis=1)
+    null = jnp.concatenate([padrows(n) for _, n in outs], axis=1)
+    return alt, null
+
+
+fused_scores = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metas", "multi_hits", "hmmer3_compat", "interpret", "semiring",
+        "dchain",
+    ),
+)(fused_scores_raw)
 
 
 def pick_nseq(nseqs: int, cap: int = NSEQ) -> int:

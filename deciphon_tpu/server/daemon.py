@@ -126,6 +126,34 @@ class Server:
         log.info("Uploading pressed file")
         self.api.upload_db(db_path)
         self.api.set_job_state(job.id, JobState.DONE)
+        self._press_prewarm(db_path)
+
+    def _press_prewarm(self, db_path: str) -> None:
+        """Compile the freshly-pressed DB's scan variants NOW, while no
+        scan is waiting — press knows the block shapes, and the
+        persistent XLA cache (utils/jaxcache.py, caller-independent
+        keys) hands the executables to every later scan on this machine,
+        so the first scan job starts compile-free (VERDICT r3 #2:
+        pre-warm at press time).  Default batch shape: DCP_SCAN_BATCH
+        reads at the one-chunk 255-nt bucket plus the 510 bucket that
+        metagenomic reads land in.  DCP_PRESS_PREWARM=0 disables."""
+        if os.environ.get("DCP_PRESS_PREWARM", "1") == "0":
+            return
+        try:
+            # a throwaway engine: what later scans reuse is the
+            # PERSISTENT executable cache, not this instance
+            engine = ScanEngine(
+                TensorDB.load(db_path), mesh=self._scan_mesh()
+            )
+            batch = int(os.environ.get("DCP_SCAN_BATCH", 1024))
+            for max_len in (255, 510):
+                spent = engine.warmup(batch, max_len)
+                log.info(
+                    "press prewarm: %d-read/%d-nt variants in %.1fs",
+                    batch, max_len, spent,
+                )
+        except Exception:  # noqa: BLE001 — prewarm is best-effort
+            log.warning("press prewarm failed", exc_info=True)
 
     def _scan_mesh(self):
         """('seqs' x 'profiles') mesh over all visible devices, or None

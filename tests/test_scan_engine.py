@@ -379,3 +379,73 @@ def test_scan_iupac_on_pallas_path(db, monkeypatch):
     enc, codes = encode_extended(noisy)
     ora = vr.viterbi_alt(target, enc, codes=codes)
     assert h[1].alt_loglik == pytest.approx(ora.loglik, abs=1e-3)
+
+
+@pytest.fixture(scope="module")
+def wide_db(tmp_path_factory):
+    """Cores spanning several packing tiers so the engine builds
+    multiple blocks (segmented + unsegmented)."""
+    tmp = tmp_path_factory.mktemp("fused")
+    hmm = tmp / "wide.hmm"
+    with open(hmm, "w") as fp:
+        write_h3(
+            fp,
+            [
+                random_h3(s, k, peak=0.9)
+                for s, k in enumerate([4, 6, 9, 20, 40, 70, 130, 200])
+            ],
+        )
+    dbp = str(tmp / "wide.dtp")
+    write_db(dbp, press_file(str(hmm)))
+    return TensorDB.load(dbp)
+
+
+def test_fused_scan_matches_per_block(wide_db, monkeypatch):
+    """The fused single-dispatch scan (viterbi_pallas.fused_scores, the
+    production single-chip path) returns exactly the per-block path's
+    hits."""
+    reads = [consensus_dna(wide_db.profile(i)) for i in (2, 5, 7)]
+    seqs = [SeqRecord(i, f"r{i}", r) for i, r in enumerate(reads)] + [
+        SeqRecord(9, "rand", "ACGTACGTACGTACGTACGTACGTACG")
+    ]
+    params = ScanParams(lrt_threshold=10.0)
+    fused_eng = ScanEngine(
+        wide_db, params, use_pallas=True, pallas_interpret=True
+    )
+    assert fused_eng.fuse  # default on for single-chip pallas
+    fused = fused_eng.scan(seqs)
+    monkeypatch.setenv("DCP_FUSE_SCAN", "0")
+    per_block_eng = ScanEngine(
+        wide_db, params, use_pallas=True, pallas_interpret=True
+    )
+    assert not per_block_eng.fuse
+    per_block = per_block_eng.scan(seqs)
+    assert len(fused) >= 3
+    assert [(h.seq_id, h.profile_idx, h.match) for h in fused] == [
+        (h.seq_id, h.profile_idx, h.match) for h in per_block
+    ]
+    for a, b in zip(fused, per_block):
+        assert a.alt_loglik == pytest.approx(b.alt_loglik, abs=1e-5)
+        assert a.null_loglik == pytest.approx(b.null_loglik, abs=1e-5)
+
+
+def test_fused_warmup_covers_scan_variants(wide_db):
+    """After warmup, a scan of the warmed (nseqs, max_len) shape adds NO
+    new entries to the fused dispatch's jit cache — the cold-start
+    contract of the daemon's spool-overlapped prewarm."""
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    eng = ScanEngine(
+        wide_db, ScanParams(lrt_threshold=1e9),
+        use_pallas=True, pallas_interpret=True,
+    )
+    seqs = [
+        SeqRecord(i, f"s{i}", consensus_dna(wide_db.profile(7))[: 60 + i])
+        for i in range(5)
+    ]
+    spent = eng.warmup(len(seqs), max(len(s.data) for s in seqs))
+    assert spent > 0.0
+    cached = vp.fused_scores._cache_size()
+    assert cached > 0
+    eng.scan(seqs)
+    assert vp.fused_scores._cache_size() == cached
