@@ -244,9 +244,17 @@ def pfam_bench():
     compile_s = engine.warmup(PFAM_NSEQS, int(lens.max()))
     engine.scan(seqs)
     cold_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    engine.scan(seqs)
-    dt = time.perf_counter() - t0
+    # min-of-N warm scans: a single timing conflated host jitter with
+    # engine speed (the r04 headline regressed 40% on an identical
+    # kernel purely from one noisy measurement: r05 re-measures of the
+    # same configs spread 0.51-1.12 s across relay sessions).  Seven
+    # samples cost ~4 s and bound the headline's noise; all recorded.
+    scan_times = []
+    for _ in range(int(os.environ.get("BENCH_PFAM_REPEATS", 7))):
+        t0 = time.perf_counter()
+        engine.scan(seqs)
+        scan_times.append(time.perf_counter() - t0)
+    dt = min(scan_times)
 
     len_sum = int(lens.sum())
     true_cells = 3.0 * len_sum * float(db.core_sizes.sum())
@@ -279,6 +287,7 @@ def pfam_bench():
         "len_bucket": int(pad_seq_len(int(lens.max()))),
         "nblocks": len(engine._blocks),
         "seconds": dt,
+        "scan_seconds_all": [round(t, 4) for t in scan_times],
         "press_seconds": press_s,
         "compile_seconds": compile_s,
         "cold_seconds": cold_s,

@@ -15,12 +15,19 @@ blocked-scan variant only if the *upper bound* clears 75 GCUPS uniform.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
-def run_case(nprofiles, core, nseqs, seq_len, dchain, repeats=3, inner=8):
+
+def run_case(nprofiles, core, nseqs, seq_len, dchain, repeats=3, inner=8,
+             ablate="none"):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +62,8 @@ def run_case(nprofiles, core, nseqs, seq_len, dchain, repeats=3, inner=8):
     seqlens = jnp.asarray(seqlens)
 
     def step():
-        return pb.scores(seqinfo, seqlens, S, dchain=dchain)
+        return pb.scores(seqinfo, seqlens, S, dchain=dchain,
+                         ablate=ablate)
 
     out = step()
     float(np.asarray(out[0][0, 0]))  # sync
@@ -74,12 +82,31 @@ def main():
     from deciphon_tpu.utils import jaxcache
 
     jaxcache.enable()
+    import sys
+
     cases = [
         # (nprofiles, core, nseqs, seq_len)
         (256, 128, 64, 512),
         (64, 512, 64, 512),
         (16, 2048, 16, 512),
     ]
+    if "--small-k" in sys.argv:
+        # the per-component op-mix split at the slow small-K tier
+        # (VERDICT r5 #2): every ablation is wrong-numerics timing-only
+        shape = (256, 128, 64, 512)
+        out = {"shape": shape}
+        for name, kw in (
+            ("full", {}),
+            ("no_dchain", dict(dchain="off")),
+            ("no_emis_m", dict(ablate="emis_m")),
+            ("no_emis_in", dict(ablate="emis_in")),
+            ("no_emis", dict(ablate="emis")),
+            ("no_dchain_no_emis", dict(dchain="off", ablate="emis")),
+        ):
+            out[name] = round(run_case(*shape, **{"dchain": "scan", **kw})
+                              / 1e9, 2)
+        print(json.dumps(out, indent=1))
+        return
     out = {}
     for shape in cases:
         base = run_case(*shape, dchain="scan")

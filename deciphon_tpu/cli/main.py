@@ -93,6 +93,7 @@ def cmd_scan(args) -> int:
             multi_hits=not args.no_multi_hits,
             hmmer3_compat=args.hmmer3_compat,
             lrt_threshold=args.lrt_threshold,
+            algo="forward" if getattr(args, "forward", False) else "viterbi",
         ),
         subset=subset,
     )
@@ -307,6 +308,17 @@ def cmd_info(args) -> int:
         if info.profile_sizes:
             print(f"bytes/prof: min {min(info.profile_sizes)}, "
                   f"max {max(info.profile_sizes)}")
+        if info.profiles:
+            # invariant-driven imm_dp tensor extraction attempt
+            # (db/dcp_dp.py); on failure the error IS the analysis of
+            # which bytes block a scan of this file
+            from deciphon_tpu.db.dcp_dp import DcpDpError
+
+            try:
+                null, alt = info.profiles[0].decode_dp()
+                print(f"dp decode:  ok ({alt.report})")
+            except DcpDpError as e:
+                print(f"dp decode:  FAILED — {e}")
         return 0
 
     from deciphon_tpu.db.dispatch import STANDARD, db_typeid
@@ -385,6 +397,12 @@ def main(argv=None) -> int:
         "--best-hit", action="store_true",
         help="emit one row per read (its best LRT-passing profile) via "
              "the device-side argmax reduction; no match column",
+    )
+    p.add_argument(
+        "--forward", action="store_true",
+        help="score with the forward algorithm (logsumexp over all "
+             "paths) instead of Viterbi: logliks/LRT measure total path "
+             "mass; match strings still decode the Viterbi path",
     )
     p.set_defaults(fn=cmd_scan)
 

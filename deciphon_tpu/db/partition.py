@@ -101,7 +101,7 @@ def pack_profile_rows(
     group: int = 16,
     small_group_kpad: int = 768,
     small_group: int = 8,
-    seg: bool = True,
+    seg: bool = False,
     block_penalty: float = 0.01,
 ) -> list[tuple[int, int, int, np.ndarray]]:
     """Minimum-padding packing for the batched Viterbi kernel, one ROW
@@ -123,6 +123,9 @@ def pack_profile_rows(
     strictly shrinks lane work, because the per-segment bridge ops lower
     the row's lane rate (measured ~0.5-0.7x, benchmarks/seg_ladder.py —
     a W=256 x2 row costs the same lanes as a 256 row but runs slower).
+    ``seg`` defaults False to match the measured-best end-to-end
+    configuration (docs/PERFORMANCE.md segmentation A/B); DCP_SEG=1 in
+    the engine opts back in.
 
     Rows sharing (kpad, group, nsegs) merge into one dispatch block;
     ``block_penalty`` (x total core mass) then merges whole blocks

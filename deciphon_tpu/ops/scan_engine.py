@@ -31,7 +31,7 @@ from deciphon_tpu.db.partition import pack_profile_rows
 from deciphon_tpu.models import codec
 from deciphon_tpu.ops import viterbi_jax as vj
 from deciphon_tpu.ops import viterbi_ref as vr
-from deciphon_tpu.utils import trace
+from deciphon_tpu.utils import trace, xmath
 from deciphon_tpu.ops.emissions import fragment_indices
 
 # Largest padded core size the Pallas kernel supports — the reference's
@@ -46,11 +46,25 @@ PALLAS_MAX_KPAD = 4096
 
 @dataclass(frozen=True)
 class ScanParams:
-    """Mirrors sched_scan flags + the scan threshold (scan.c:221)."""
+    """Mirrors sched_scan flags + the scan threshold (scan.c:221).
+
+    ``algo`` extends the reference (which only runs Viterbi,
+    scan_thread.c:115-118): "forward" scores every (seq, profile) pair
+    with the forward algorithm — the same kernels under the logsumexp
+    semiring — so logliks/LRT measure TOTAL path mass instead of the
+    best path.  Hit match strings still decode the Viterbi path (the
+    forward semiring has no single path to decode)."""
 
     multi_hits: bool = True
     hmmer3_compat: bool = False
     lrt_threshold: float = 10.0
+    algo: str = "viterbi"  # "viterbi" | "forward"
+
+    @property
+    def semiring(self) -> str:
+        if self.algo not in ("viterbi", "forward"):
+            raise ValueError(f"unknown algo {self.algo!r}")
+        return "logsumexp" if self.algo == "forward" else "max"
 
 
 @dataclass
@@ -116,7 +130,13 @@ class _Cols:
     def __array__(self, dtype=None, copy=None):
         a = self.parent.numpy()[:, self.lo : self.hi]
         if dtype is not None and a.dtype != np.dtype(dtype):
+            if copy is False:
+                raise ValueError(
+                    "dtype conversion requires a copy (copy=False given)"
+                )
             a = a.astype(dtype)
+        elif copy:
+            a = a.copy()
         return a
 
 
@@ -197,12 +217,23 @@ class ScanEngine:
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
         self.traceback = traceback
-        # Single-chip scans fuse every block's kernel into ONE jitted
-        # dispatch per scan (viterbi_pallas.fused_scores): over the
-        # remote-execution relay, per-block dispatch gaps cost more than
-        # the kernels.  DCP_FUSE_SCAN=0 falls back to per-block
-        # dispatches (same numerics; tests/test_scan_engine.py pins
-        # fused == per-block).
+        # DCP_FUSE_SCAN=1 (default) fuses every block's kernel into ONE
+        # jitted dispatch per scan (viterbi_pallas.fused_scores).  The
+        # round-5 interleaved on-chip A/Bs (benchmarks/fuse_ab.py,
+        # seg_ab.py, docs/PERFORMANCE.md):
+        #   - unsegmented, fused vs per-block: EQUAL warm (39.9 vs 40.5
+        #     GCUPS, within the run spread) — per-block queues all
+        #     single-dispatch blocks before one sync, so relay gaps are
+        #     already amortized at ~7 blocks;
+        #   - segmented packing under per-block dispatch LOSES (21.4
+        #     GCUPS: 12 blocks x ~90 ms relay round trips dominate);
+        #   - segmented + fused WINS every round: 40.7 vs 38.1 GCUPS at
+        #     profile-axis padding efficiency 0.705 vs 0.649.
+        # So the default pairs fusion WITH segmentation; the price is a
+        # serial monolith compile (one-time per machine via the
+        # persistent cache; the per-block path cold-starts ~4x faster
+        # when compiles are fresh).  Same numerics on every path
+        # (tests/test_scan_engine.py pins fused == per-block).
         self.fuse = (
             use_pallas
             and mesh is None
@@ -220,14 +251,16 @@ class ScanEngine:
             # Per-row DP packing: each sorted sublane row gets its own
             # lane-rounded width; huge-core rows use half-width sublane
             # groups so the 4096-envelope tail wastes less.  Segmented
-            # tiers (DCP_SEG=1) pack several small cores per row — they
-            # win per-block microbenches but LOSE end-to-end on
-            # Pfam-shaped DBs (A/B in docs/PERFORMANCE.md: the segment
-            # bridges cut the row's lane rate ~0.5-0.7x, outweighing the
-            # ~8% padded-work saving), so they default off.
+            # tiers pack several small cores per row; they pay off ONLY
+            # under the fused single-dispatch (the extra blocks cost one
+            # relay round trip each under per-block dispatch —
+            # 21.4 vs 40.7 GCUPS either side of the r5 A/B,
+            # docs/PERFORMANCE.md), so DCP_SEG defaults to follow
+            # ``fuse`` and can be forced either way explicitly.
+            seg_env = os.environ.get("DCP_SEG")
             packed = pack_profile_rows(
                 sizes, lane=lane,
-                seg=os.environ.get("DCP_SEG", "0") == "1",
+                seg=(seg_env == "1") if seg_env is not None else self.fuse,
             )
         else:
             # XLA engine has no sublane-row structure; group is notional
@@ -337,6 +370,7 @@ class ScanEngine:
                 hmmer3_compat=p.hmmer3_compat,
                 interpret=self.pallas_interpret,
                 trim_rows=False,  # gate trims at host sync
+                semiring=p.semiring,
             )
         if self.mesh is not None:
             from deciphon_tpu.parallel import pallas_scan as ps
@@ -350,6 +384,7 @@ class ScanEngine:
                 multi_hits=p.multi_hits,
                 hmmer3_compat=p.hmmer3_compat,
                 dev_block=blk.iupac_dev[codes],
+                semiring=p.semiring,
             )
         import jax.numpy as jnp
 
@@ -360,6 +395,7 @@ class ScanEngine:
         return vj.viterbi_scores(
             blk.iupac_dev[codes], eidx, slen,
             multi_hits=p.multi_hits, hmmer3_compat=p.hmmer3_compat,
+            semiring=p.semiring,
         )
 
     def warmup(self, nseqs: int, max_len: int, workers: int = 8) -> float:
@@ -446,6 +482,7 @@ class ScanEngine:
                         multi_hits=self.params.multi_hits,
                         hmmer3_compat=self.params.hmmer3_compat,
                         interpret=self.pallas_interpret,
+                        semiring=self.params.semiring,
                     )
                     np.asarray(alt)
                     np.asarray(null)
@@ -471,6 +508,7 @@ class ScanEngine:
                 hmmer3_compat=self.params.hmmer3_compat,
                 interpret=self.pallas_interpret,
                 trim_rows=False,  # the production dispatch variant
+                semiring=self.params.semiring,
             )
             np.asarray(alt)
             np.asarray(null)
@@ -498,12 +536,18 @@ class ScanEngine:
         """Per-read best profile via DEVICE-SIDE reduction: each block's
         [S, B] score matrices reduce to [S] (argmax over the profile
         axis) before leaving the device, so the host transfer shrinks by
-        the DB width; on a mesh the reduction crosses profile shards as
-        an XLA collective (the production form of the round-2 demo's
-        pmax merge, parallel/sharded_scan.py).  No traceback — use
-        ``scan`` for products."""
+        the DB width.  On the fused path every block's columns live in
+        ONE concatenated device matrix; a single jitted reduction over
+        the static block boundaries returns [nblocks, S] vectors — one
+        dispatch + one O(nblocks*S) pull, never the full [S, total]
+        matrix (a ~20k-profile Pfam x 1k reads would be an 80 MB pull).
+        On a mesh the reduction crosses profile shards as an XLA
+        collective (the production form of the round-2 demo's pmax
+        merge, parallel/sharded_scan.py).  No traceback — use ``scan``
+        for products."""
         import jax
         import jax.numpy as jnp
+        from functools import partial
 
         @jax.jit
         def block_best(alt, null):
@@ -513,26 +557,48 @@ class ScanEngine:
             rows = jnp.arange(alt.shape[0])
             return bi, lrt[rows, bi], alt[rows, bi], null[rows, bi]
 
-        def reduce_entry(alt, null):
-            # fused dispatches hand back lazy column views of ONE
-            # already-concatenated device matrix — the host transfer is
-            # a single pull for all blocks, so reduce in numpy instead
-            # of round-tripping each slice back to the device
-            if isinstance(alt, _Cols):
-                a = np.asarray(alt)
-                n = np.asarray(null)
-                lrt = np.where(a > vj.NEG / 2, -2.0 * (n - a), -np.inf)
-                bi = np.argmax(lrt, axis=1)
-                rows = np.arange(a.shape[0])
-                return bi, lrt[rows, bi], a[rows, bi], n[rows, bi]
-            return block_best(alt, null)
+        @partial(jax.jit, static_argnums=(2,))
+        def fused_best(alt, null, bounds):
+            # per-block argmax over a shared concatenated matrix; the
+            # ragged block widths make this a static unrolled loop
+            rows = jnp.arange(alt.shape[0])
+            outs = []
+            for lo, hi in bounds:
+                a, n = alt[:, lo:hi], null[:, lo:hi]
+                lrt = jnp.where(a > vj.NEG / 2, -2.0 * (n - a), -jnp.inf)
+                bi = jnp.argmax(lrt, axis=1)
+                outs.append((bi, lrt[rows, bi], a[rows, bi], n[rows, bi]))
+            return tuple(
+                jnp.stack([o[j] for o in outs]) for j in range(4)
+            )
 
         with trace.device_trace("best_hits"):
             encoded, pending = self._queue_dispatches(seqs)
-            reduced = [
-                (seq_ids, blk, reduce_entry(alt, null))
-                for seq_ids, blk, _, alt, null in pending
-            ]
+            reduced = []
+            # group fused-path column views by their shared device matrix
+            fused_groups: dict[int, list] = {}
+            for entry in pending:
+                seq_ids, blk, _, alt, null = entry
+                if isinstance(alt, _Cols) and alt.parent.dev is not None:
+                    fused_groups.setdefault(
+                        id(alt.parent), []
+                    ).append(entry)
+                else:
+                    reduced.append(
+                        (seq_ids, blk, block_best(alt, null))
+                    )
+            for entries in fused_groups.values():
+                alt_dev = entries[0][3].parent.dev
+                null_dev = entries[0][4].parent.dev
+                bounds = tuple((e[3].lo, e[3].hi) for e in entries)
+                bis, lrts, alts, nulls = fused_best(
+                    alt_dev, null_dev, bounds
+                )
+                for j, (seq_ids, blk, _, _, _) in enumerate(entries):
+                    reduced.append(
+                        (seq_ids, blk,
+                         (bis[j], lrts[j], alts[j], nulls[j]))
+                    )
         self._finish_scan()
         best: dict[int, BestHit] = {}
         for seq_ids, blk, (bi, lrt, alt, null) in reduced:
@@ -661,6 +727,7 @@ class ScanEngine:
                         hmmer3_compat=p.hmmer3_compat,
                         interpret=self.pallas_interpret,
                         trim_rows=False,
+                        semiring=p.semiring,
                     )
                 elif self.mesh is not None:
                     from deciphon_tpu.parallel import pallas_scan as ps
@@ -675,12 +742,14 @@ class ScanEngine:
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
                         dev_block=blk.jaxdev,
+                        semiring=p.semiring,
                     )
                 else:
                     alt, null = vj.viterbi_scores(
                         self._jax_block(blk), eidx, slen,
                         multi_hits=p.multi_hits,
                         hmmer3_compat=p.hmmer3_compat,
+                        semiring=p.semiring,
                     )
                 pending.append((seq_ids, blk, codes, alt, null))
             if fuse_blocks:
@@ -730,6 +799,7 @@ class ScanEngine:
             metas=tuple(metas),
             multi_hits=p.multi_hits, hmmer3_compat=p.hmmer3_compat,
             interpret=self.pallas_interpret,
+            semiring=p.semiring,
         )
         alt_sh, null_sh = _SharedPull(alt_cat), _SharedPull(null_cat)
         pending, lo = [], 0
@@ -765,7 +835,7 @@ class ScanEngine:
             # dispatches return all SG*nseq rows)
             alt = np.asarray(alt, dtype=np.float64)[: len(seq_ids)]
             null = np.asarray(null, dtype=np.float64)[: len(seq_ids)]
-            lrt = -2.0 * (null - alt)
+            lrt = xmath.lrt(null, alt)
             ok = np.isfinite(lrt) & (lrt >= p.lrt_threshold)
             ok &= alt > vj.NEG / 2
             if self.progress is not None:

