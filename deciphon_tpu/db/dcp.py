@@ -50,6 +50,20 @@ class DcpProfile:
     specials: dict[str, int]  # R,S,N,B,E,J,C,T state indices
     null_dp_nbytes: int
     alt_dp_nbytes: int
+    # raw parsed msgpack values of the imm_dp objects, for the
+    # invariant-driven decode attempt (db/dcp_dp.py)
+    null_obj: object = None
+    alt_obj: object = None
+
+    def decode_dp(self):
+        """Attempt the imm_dp tensor extraction on this profile's alt/null
+        objects (db/dcp_dp.decode_imm_dp).  Returns (null, alt) ImmDp on
+        success; raises DcpDpError carrying the structural analysis."""
+        from deciphon_tpu.db.dcp_dp import decode_imm_dp
+
+        null = decode_imm_dp(self.null_obj, self.core_size, is_alt=False)
+        alt = decode_imm_dp(self.alt_obj, self.core_size, is_alt=True)
+        return null, alt
 
 
 @dataclass
@@ -187,6 +201,8 @@ def parse_dcp(data: bytes) -> DcpInfo:
                 },
                 null_dp_nbytes=_bin_len(p.get("null", b"")),
                 alt_dp_nbytes=_bin_len(p.get("alt", b"")),
+                null_obj=p.get("null"),
+                alt_obj=p.get("alt"),
             )
         )
     if info.profiles and len(info.profiles) != info.nprofiles:
