@@ -13,9 +13,11 @@ fragment length:
 
 with E_l [125, F*T] one-hot over codon-marginal entries and G_l [25, F*T]
 one-hot over background-pair entries scaled by the per-class error-model
-coefficient (frame.term_coefs).  Both matmuls are dense MXU work; the
-arithmetic is exact selection, so the only deviation from the host f64
-path is f32 product/sum rounding (~1e-7 relative).
+coefficient (frame.term_coefs).  Both matmuls are dense MXU work at
+``Precision.HIGHEST`` (the TPU default would truncate the inputs to
+bf16 — measured ~1e-3 per table entry, ~0.05 per 260-nt Viterbi score);
+at HIGHEST the arithmetic is exact selection, so the only deviation
+from the host f64 path is f32 product/sum rounding (~1e-7 relative).
 
 The reference has no analogue (imm precomputes per-state tables on the
 CPU at press time); this is the TPU-native replacement for that setup
@@ -85,9 +87,17 @@ def _synth_chunk(mp, q, eps: float):
     and dominated cold-start)."""
     consts = _length_consts(eps)
     qq = (q[:, :, None] * q[:, None, :]).reshape(q.shape[0], 25)
+    # HIGHEST precision is load-bearing: the TPU default truncates
+    # matmul inputs to bf16, which skewed every synthesized table entry
+    # ~1e-3 and biased whole-read Viterbi scores ~0.05 off the f64
+    # oracle at 260 nt (caught by tests/test_tpu_hw.py parity — CPU
+    # interpret runs were exact, so only the on-hardware suite sees it)
+    dot = functools.partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGHEST
+    )
     parts = []
     for E, G, F, T in consts:
-        p = (mp @ jnp.asarray(E)) * (qq @ jnp.asarray(G))
+        p = dot(mp, jnp.asarray(E)) * dot(qq, jnp.asarray(G))
         parts.append(p.reshape(p.shape[0], F, T).sum(-1))
     probs = jnp.concatenate(parts, axis=1)  # [R, NFRAGS]
     return jnp.maximum(jnp.log(probs), NEG)

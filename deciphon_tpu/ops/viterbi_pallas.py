@@ -463,9 +463,6 @@ def _kernel(
                 )
             else:
                 em_m = jnp.stack([femis_m[idx] for idx in idxs])
-            em_n = em_in_rows[l - 1][:, 1]
-            from_start = (l == i)  # position i-l == 0
-            sp = ring_s[slot]  # [8, NSEQ, ncols]
 
             def acc(prev, cand):
                 # first lookback step assigns; later steps join-accumulate
@@ -474,21 +471,39 @@ def _kernel(
             # ring_cs already holds join(core in-flow, B + entry)
             accM = acc(accM, ring_cs[slot] + em_m)
             accI = acc(accI, ring_ic[slot] + em_i_lanes[l - 1])
-            start0 = jnp.where(from_start, 0.0, NEG)
-            accN = acc(
-                accN, join(sp[S_N], start0) + t_NN + em_n
-            )
-            accJ = acc(
-                accJ,
-                join(sp[S_E] + t_EJ, sp[S_J]) + t_JJ + em_n,
-            )
-            accC = acc(
-                accC,
-                join(sp[S_E] + t_EC, sp[S_C]) + t_CC + em_n,
-            )
-            accR = acc(
-                accR, join(sp[S_R] + t_RR, start0) + em_n
-            )
+
+        # Specials batched over the lookback axis: the per-l form was
+        # ~80 sub-tile [nseq, ncols] ops per position (pure fixed cost —
+        # the 21%-of-time "insert/null path" in the small-K ablation);
+        # stacking the 5 ring_s slots and null rows runs the same math
+        # as ~16 ops at 5x payload + 4 leading-axis reduces.
+        sp5 = jnp.stack(
+            [ring_s[(j - l) % 5] for l in range(1, 6)]
+        )  # [5, 8, nseq, ncols]
+        en5 = jnp.stack(
+            [em_in_rows[l - 1][:, 1] for l in range(1, 6)]
+        )  # [5, nseq, ncols]
+        # start gate per lookback: position i-l == 0  ->  l == i
+        li = jax.lax.broadcasted_iota(jnp.int32, (5, 1, 1), 0) + 1
+        start5 = jnp.where(li == i, 0.0, NEG)
+
+        if semiring == "max":
+            def red5(x):
+                return jnp.max(x, axis=0)
+        else:
+            def red5(x):
+                m = jnp.max(x, axis=0)
+                # entries are finite (NEG, not -inf): x - m <= 0 always
+                return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0))
+
+        accN = red5(join(sp5[:, S_N], start5) + t_NN + en5)
+        accJ = red5(
+            join(sp5[:, S_E] + t_EJ, sp5[:, S_J]) + t_JJ + en5
+        )
+        accC = red5(
+            join(sp5[:, S_E] + t_EC, sp5[:, S_C]) + t_CC + en5
+        )
+        accR = red5(join(sp5[:, S_R] + t_RR, start5) + en5)
 
         # mute D-chain: VD = cdd + cumjoin(VM + a_base) shifted one lane
         if dchain == "off":
