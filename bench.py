@@ -274,10 +274,8 @@ def pfam_bench():
 
     padded = 0.0
     for blk in engine._blocks:
-        slots = blk.group * blk.nsegs
-        rows = -(-len(blk.chunk) // slots) * slots
         nseq = vp.pick_nseq(PFAM_NSEQS, vp.nseq_cap(blk.klanes, blk.group))
-        padded += 3.0 * rows * blk.kpad * stack_positions(nseq)
+        padded += 3.0 * blk.row_lane_units * stack_positions(nseq)
     detail = {
         "nprofiles": len(sizes),
         "core_min": int(sizes.min()),

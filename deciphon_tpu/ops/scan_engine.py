@@ -43,6 +43,13 @@ from deciphon_tpu.ops.emissions import fragment_indices
 # XLA engine.
 PALLAS_MAX_KPAD = 4096
 
+# Slotspan tail packing: profiles with core > SPAN_THRESH take
+# ceil(core/SPAN_W) consecutive sublane slots of a SPAN_W-lane group-8
+# row (viterbi_pallas.plan_spans) instead of one max-core-wide slot
+# each.  896 is the widest classic group-8 tier below SPAN_W.
+SPAN_W = 1024
+SPAN_THRESH = 896
+
 
 @dataclass(frozen=True)
 class ScanParams:
@@ -153,15 +160,18 @@ class _Block:
 
     __slots__ = (
         "chunk", "kpad", "group", "nsegs", "host", "pallas", "jaxdev",
-        "iupac_host", "iupac_dev",
+        "iupac_host", "iupac_dev", "span_row",
     )
 
     def __init__(self, chunk: np.ndarray, kpad: int, group: int,
-                 nsegs: int = 1):
+                 nsegs: int = 1, span_row=None):
         self.chunk = chunk
         self.kpad = kpad
         self.group = group
         self.nsegs = nsegs
+        # slotspan row plan (viterbi_pallas.plan_spans entry): huge-core
+        # profiles spanning ceil(core/kpad) sublane slots of one row
+        self.span_row = span_row
         self.host = None  # host ProfileBlock (base 4)
         self.pallas = None  # PallasBlock | ShardedPallasBlock
         self.jaxdev = None  # device ProfileBlock for the XLA engine
@@ -172,6 +182,16 @@ class _Block:
     def klanes(self) -> int:
         """Kernel lane width (the VMEM/nseq budget unit)."""
         return self.kpad * self.nsegs
+
+    @property
+    def row_lane_units(self) -> int:
+        """Dispatched (sublane-slot x lane) units — the padded-work
+        accounting unit (bench.py padding_efficiency)."""
+        if self.span_row is not None:
+            return self.group * self.kpad  # one row per span block
+        slots = self.group * self.nsegs
+        rows = -(-len(self.chunk) // slots) * slots
+        return rows * self.kpad
 
 
 def pad_seq_len(L: int) -> int:
@@ -258,10 +278,57 @@ class ScanEngine:
             # docs/PERFORMANCE.md), so DCP_SEG defaults to follow
             # ``fuse`` and can be forced either way explicitly.
             seg_env = os.environ.get("DCP_SEG")
-            packed = pack_profile_rows(
-                sizes, lane=lane,
-                seg=(seg_env == "1") if seg_env is not None else self.fuse,
+            seg = (seg_env == "1") if seg_env is not None else self.fuse
+            # Slotspan rows for the huge-core tail (cores > SPAN_THRESH):
+            # each profile takes ceil(core/SPAN_W) consecutive sublane
+            # slots of a SPAN_W-lane row with cross-slot carries
+            # in-kernel — measured 1.56x the classic one-slot-per-
+            # profile tail row on-chip at half the dispatched lanes,
+            # bit-exact (benchmarks/span_tail.py).  Also brings the row
+            # under the VMEM residency ceiling (no HBM streaming).
+            # Single-chip only (mesh blocks keep the classic packing);
+            # DCP_SPAN=0 disables.
+            span_idx = np.array([], np.int64)
+            if (
+                mesh is None
+                and os.environ.get("DCP_SPAN", "1") != "0"
+                and sizes.max(initial=0) > SPAN_THRESH
+            ):
+                from deciphon_tpu.ops import viterbi_pallas as vp
+
+                local = np.flatnonzero(sizes > SPAN_THRESH)
+                span_idx = local
+                rows = vp.plan_spans(sizes[local], SPAN_W, group=8)
+                for row in rows:
+                    pids = list(dict.fromkeys(t[0] for t in row))
+                    gidx = local[pids]
+                    if subset is not None:
+                        gidx = subset[gidx]
+                    # remap row entries to positions within this block's
+                    # profile list
+                    pos = {pi: i for i, pi in enumerate(pids)}
+                    rrow = tuple(
+                        (pos[pi], c, span) for pi, c, span in row
+                    )
+                    blk = _Block(
+                        gidx, SPAN_W, 8, span_row=rrow
+                    )
+                    self._blocks.append(blk)
+                    for gi, k in zip(gidx, sizes[local[pids]]):
+                        self._kpad_of[int(gi)] = max(
+                            lane, -(-int(k) // lane) * lane
+                        )
+            keep = (
+                np.flatnonzero(~np.isin(np.arange(len(sizes)), span_idx))
+                if len(span_idx)
+                else np.arange(len(sizes))
             )
+            packed = [
+                (kpad, group, nsegs, keep[idxs])
+                for kpad, group, nsegs, idxs in pack_profile_rows(
+                    sizes[keep], lane=lane, seg=seg
+                )
+            ] if len(keep) else []
         else:
             # XLA engine has no sublane-row structure; group is notional
             packed = pack_profile_rows(
@@ -279,7 +346,10 @@ class ScanEngine:
         """Host (numpy) tensor block for this chunk."""
         if blk.host is None:
             profiles = [self.db.profile(int(i)) for i in blk.chunk]
-            blk.host = vj.build_profile_block(profiles, kpad=blk.kpad)
+            # span blocks pack cores wider than kpad; any non-span
+            # consumer (XLA fallback) pads to the max core instead
+            kp = None if blk.span_row is not None else blk.kpad
+            blk.host = vj.build_profile_block(profiles, kpad=kp)
         return blk.host
 
     def _iupac_block(self, blk: _Block, codes: tuple) -> vj.ProfileBlock:
@@ -290,8 +360,11 @@ class ScanEngine:
             blk.iupac_host = {}
         if codes not in blk.iupac_host:
             profiles = [self.db.profile(int(i)) for i in blk.chunk]
+            # span blocks pack cores wider than kpad; the IUPAC form
+            # (XLA fallback, see _iupac_scores) pads to the max core
+            kp = None if blk.span_row is not None else blk.kpad
             blk.iupac_host[codes] = vj.build_profile_block(
-                profiles, kpad=blk.kpad, codes=codes
+                profiles, kpad=kp, codes=codes
             )
         return blk.iupac_host[codes]
 
@@ -306,6 +379,20 @@ class ScanEngine:
                     self._block(blk), self.mesh, group=blk.group,
                     nsegs=blk.nsegs,
                 )
+            elif blk.span_row is not None:
+                from deciphon_tpu.ops import viterbi_pallas as vp
+
+                profiles = [self.db.profile(int(i)) for i in blk.chunk]
+                fm, fin, tr, spans, col_sel, pids = vp.pack_span_row(
+                    profiles, blk.span_row, blk.kpad, blk.group
+                )
+                assert pids == list(range(len(profiles)))
+                pb = object.__new__(vp.PallasBlock)
+                pb._init(
+                    fm, fin, tr, len(profiles), blk.group, None, 1,
+                    None, spans=spans, col_sel=col_sel,
+                )
+                blk.pallas = pb
             else:
                 from deciphon_tpu.ops import viterbi_pallas as vp
 
@@ -346,6 +433,10 @@ class ScanEngine:
             self.use_pallas
             and self.mesh is None
             and blk.kpad <= PALLAS_MAX_KPAD
+            # span blocks take the XLA fallback for ambiguous reads
+            # (rare by construction; the extended-table span packing
+            # isn't built)
+            and blk.span_row is None
         ):
             import jax.numpy as jnp
 
@@ -472,6 +563,7 @@ class ScanEngine:
                             nprofiles=pb.nprofiles, n_stream=pb.n_stream,
                             group=pb.group, nsegs=pb.nsegs, nres=pb.nres,
                             seq_slot=tier_of[nseq],
+                            spans=pb.spans, col_sel=pb.col_sel,
                         )
                     )
                     tensors.append((pb.femis_m, pb.femis_in, pb.trans))
@@ -791,6 +883,7 @@ class ScanEngine:
                     nprofiles=pb.nprofiles, n_stream=pb.n_stream,
                     group=pb.group, nsegs=pb.nsegs, nres=pb.nres,
                     seq_slot=tier_of[nseq],
+                    spans=pb.spans, col_sel=pb.col_sel,
                 )
             )
             tensors.append((pb.femis_m, pb.femis_in, pb.trans))

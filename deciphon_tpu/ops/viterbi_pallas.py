@@ -207,6 +207,7 @@ def _kernel(
     dchain: str = "scan",
     nsegs: int = 1,
     ablate: str = "none",
+    spans: tuple | None = None,
 ):
     join, reduce_k = _kernel_semiring(semiring)
     if n_stream:
@@ -339,6 +340,159 @@ def _kernel(
         s: jnp.where(lane_in_seg < s, jnp.float32(NEG), jnp.float32(0.0))
         for s in sorted(shifts)
     }
+
+    # Slotspan mode (``spans`` static): one PROFILE occupies several
+    # consecutive sublane slots at lane width K, so the huge-core tail
+    # packs at ~its true size instead of one max-core-wide slot per
+    # profile (the 0.38-efficiency tail block, docs/PERFORMANCE.md).
+    # spans[s] is the span-group id of slot s; slots sharing an id hold
+    # consecutive K-node chunks of one profile.  Cross-slot carries:
+    #   - the core k->k+1 shift injects lane K-1 of slot s-1 into lane 0
+    #     of continuation slot s (M/D advance across the chunk cut);
+    #   - the D-chain prefix adds a span-masked Hillis-Steele scan of
+    #     per-slot totals over the SUBLANE axis (exact prefix across
+    #     chunks);
+    #   - VE becomes a span-wide allreduce so every slot of a profile
+    #     carries the profile's value and the specials stay replicated.
+    # debug ablation of individual span features: ablate="span:a,b"
+    # disables the named carries (wrong numerics, HW triage only)
+    span_off = (
+        set(ablate.split(":", 1)[1].split(","))
+        if ablate.startswith("span:") else set()
+    )
+    if spans is not None:
+        assert nsegs == 1, "slotspan and lane segmentation are exclusive"
+        spans_np = np.asarray(spans)
+        cont_list = [
+            s > 0 and spans_np[s] == spans_np[s - 1] for s in range(group)
+        ]
+
+        def slot_mask(flags, shape, axis=1):
+            """Boolean [*, group, *] mask from a static per-slot flag
+            list, composed from iota comparisons (pallas kernels cannot
+            capture array constants)."""
+            subl = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+            m = None
+            for s, f in enumerate(flags):
+                if f:
+                    eq = subl == s
+                    m = eq if m is None else (m | eq)
+            if m is None:
+                m = subl < 0  # all-false
+            return m
+
+        def slot_add(flags, shape):
+            """Additive mask: 0.0 on flagged slots, NEG elsewhere."""
+            return jnp.where(
+                slot_mask(flags, shape), jnp.float32(0.0),
+                jnp.float32(NEG),
+            )
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, group, K), 2)
+        lane0_cont = slot_mask(cont_list, (1, group, K)) & (lane == 0)
+        # masks are built at FULL [1, group, K]: a [1, group, 1] mask
+        # broadcast-added over lanes mislowers on hardware (silently
+        # wrong values, deterministic; interpret exact) — same 1-lane
+        # shape class Mosaic refuses to concat on
+        cont_add = slot_add(cont_list, (1, group, K))
+
+        def span_ok(sh: int) -> list[bool]:
+            return [
+                s >= sh and spans_np[s] == spans_np[s - sh]
+                for s in range(group)
+            ]
+
+        # All span ops run on STANDARD shapes — full [nseq, group, K]
+        # sublane rolls or 2D [nseq, group] lane rolls.  The first cut
+        # used [nseq, group, 1] slot vectors; Mosaic refuses sublane
+        # CONCAT on those ("offset mismatch on non-concat dimension")
+        # and silently MISLOWERS sublane rolls on them (hardware-only
+        # wrong scores, varying across runs — interpret was exact).
+
+        def span_shifted_full(x, sh: int):
+            """[nseq, group, K]: slot s receives slot s-sh's row, NEG
+            where s-sh is outside the slot's span (span_ok also kills
+            the rotate wrap, since s >= sh is part of it)."""
+            rolled = pltpu.roll(x, shift=sh, axis=1)
+            return rolled + slot_add(span_ok(sh), (1, group, K))
+
+        def carry_prev_last_lane(x):
+            """[nseq, group, K]: every lane gets slot s-1's lane K-1
+            (the cross-chunk boundary value); callers mask to lane 0 of
+            continuation slots.  The lane roll by 1 makes lane 0 hold
+            old lane K-1 (wrap is exactly the boundary value); the
+            following max-broadcast is unnecessary since callers select
+            lane 0 only."""
+            return pltpu.roll(
+                pltpu.roll(x, shift=1, axis=1), shift=1, axis=2
+            )
+
+        def span_prefix_excl(a):
+            """Exclusive within-span semiring scan of per-slot lane
+            totals, broadcast on lanes: [nseq, group, K] -> same shape;
+            NEG at span starts."""
+            tot = jnp.broadcast_to(
+                reduce_k(a)[:, :, None], (nseq, group, K)
+            )
+            x = tot
+            sh = 1
+            while sh < group:
+                x = join(x, span_shifted_full(x, sh))
+                sh *= 2
+            # exclusive: previous slots only (cont_add NEGs span starts
+            # and the span_ok mask in the roll killed the wrap)
+            return pltpu.roll(x, shift=1, axis=1) + cont_add
+
+        def lane_add(flags):
+            """[1, group] additive mask over the 2D lane axis."""
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)
+            m = None
+            for s, f in enumerate(flags):
+                if f:
+                    eq = li == s
+                    m = eq if m is None else (m | eq)
+            if m is None:
+                m = li < 0
+            return jnp.where(m, jnp.float32(0.0), jnp.float32(NEG))
+
+        def span_allreduce(x):
+            """[nseq, group] (slots on LANES in 2D layout): replace each
+            slot with its span's total.
+
+            Composed as exclusive-prefix + self + exclusive-suffix so
+            every slot is counted exactly once — a bidirectional
+            butterfly would overlap windows and double-count under the
+            logsumexp semiring (max would hide it)."""
+            pre, suf = x, x
+            sh = 1
+            while sh < group:
+                ok = span_ok(sh)
+                ok_up = [
+                    s + sh < group and ok[s + sh] for s in range(group)
+                ]
+                pre = join(
+                    pre,
+                    pltpu.roll(pre, shift=sh, axis=1) + lane_add(ok),
+                )
+                suf = join(
+                    suf,
+                    pltpu.roll(suf, shift=group - sh, axis=1)
+                    + lane_add(ok_up),
+                )
+                sh *= 2
+            up_cont = [
+                s + 1 < group and spans_np[s + 1] == spans_np[s]
+                for s in range(group)
+            ]
+            return join(
+                x,
+                join(
+                    pltpu.roll(pre, shift=1, axis=1)
+                    + lane_add(cont_list),
+                    pltpu.roll(suf, shift=group - 1, axis=1)
+                    + lane_add(up_cont),
+                ),
+            )
 
     def seg_bcast(x):
         """Compact per-profile [..., ncols] -> lanes [..., group, segw]
@@ -514,11 +668,25 @@ def _kernel(
         else:
             a = accM + a_base
             b = _cummax_lanes(a, segw, negmasks, join)
+            if spans is not None and "prefix" not in span_off:
+                # exact prefix across slot chunks: per-slot totals run a
+                # span-masked sublane scan; the exclusive carry joins
+                # into every lane of continuation slots
+                b = join(b, span_prefix_excl(a))
+            b_sh = _shift_lanes(b, 1, negmasks[1])
+            if spans is not None and "dcarry" not in span_off:
+                b_sh = jnp.where(
+                    lane0_cont, carry_prev_last_lane(b), b_sh
+                )
             VD = jnp.maximum(  # numeric clamp, not a semiring op
-                cdd + _shift_lanes(b, 1, negmasks[1]), NEG
+                cdd + b_sh, NEG
             )
 
         VE = seg_reduce(join(accM, VD))  # [NSEQ, ncols]
+        if spans is not None and "vered" not in span_off:
+            # every slot of a profile carries the profile's E value so
+            # the specials (and final scores) stay slot-replicated
+            VE = span_allreduce(VE)
         VB = join(
             accN + t_NB,
             join(VE + t_EJ + t_JB, accJ + t_JB),
@@ -533,8 +701,13 @@ def _kernel(
             accM + mm_out,
             join(accI + im_out, VD + dm_out),
         )
+        core_sh = _shift_lanes(core, 1, negmasks[1])
+        if spans is not None and "ccarry" not in span_off:
+            core_sh = jnp.where(
+                lane0_cont, carry_prev_last_lane(core), core_sh
+            )
         ring_cs[j] = join(
-            _shift_lanes(core, 1, negmasks[1]),
+            core_sh,
             seg_bcast(VB) + entry,
         )
         ring_ic[j] = join(accM + mi, accI + ii)
@@ -624,7 +797,16 @@ def _pack_trans(getarr, Bp: int, Kp: int, group: int = GROUP,
     profile, so segmentation keeps them segment-local by construction."""
     P = Bp // (group * nsegs)
     dd = getarr("dd_in")
-    dd_safe = np.maximum(dd, NEG / 1e6)
+    # Dead DD links clamp to a MODERATE floor, not ~NEG: the telescoped
+    # D-chain (VD = cdd + cummax(VM + md - cdd)) relies on cdd
+    # cancellation, and a -1e24-scale link turns every post-link term
+    # into a +-1e24 pair whose f32 rounding can swallow the real scores
+    # entirely.  At -1e4 a single dead link still outweighs any real
+    # path by thousands of nats while cumsums stay in f32's exact-add
+    # range; k dead links cost ~k*1e4 — astronomically dead either way.
+    # (Numerical-robustness hardening; NOT the cause of the open
+    # group-8 hardware deviation documented in docs/PERFORMANCE.md.)
+    dd_safe = np.maximum(dd, -1e4)
     dd_safe[:, 0] = 0.0
     cdd = np.cumsum(dd_safe, axis=1, dtype=np.float64).astype(np.float32)
     md = getarr("md_in")
@@ -758,13 +940,121 @@ def pack_block_compact(profiles, kpad: int | None = None,
     return margp, qp, inm, inq, trans, B, eps
 
 
+def plan_spans(core_sizes, W: int, group: int = 8):
+    """Greedy slotspan layout for huge-core profiles: sorted descending,
+    each profile takes ceil(core/W) CONSECUTIVE slots (never crossing a
+    row boundary); rows hold ``group`` slots.
+
+    Returns a list of rows; each row is a list of (profile_pos, chunk,
+    nchunks) per occupied slot, where profile_pos indexes core_sizes.
+    """
+    core_sizes = np.asarray(core_sizes)
+    order = sorted(range(len(core_sizes)), key=lambda i: -core_sizes[i])
+    rows: list[list[tuple[int, int, int]]] = []
+    cur: list[tuple[int, int, int]] = []
+    for i in order:
+        span = max(1, -(-int(core_sizes[i]) // W))
+        if span > group:
+            raise ValueError(
+                f"core {core_sizes[i]} needs {span} > {group} slots at "
+                f"W={W}"
+            )
+        if len(cur) + span > group:
+            rows.append(cur)
+            cur = []
+        cur.extend((i, c, span) for c in range(span))
+    if cur:
+        rows.append(cur)
+    return rows
+
+
+def pack_span_row(profiles, row, W: int, group: int = 8):
+    """Device-synthesis packing of ONE slotspan row (plan_spans entry).
+
+    Each slot holds a W-node CHUNK of its profile; transition planes are
+    derived at full profile length (so the D-chain cumsum and the
+    dest->src shifts stay continuous across chunk cuts) and then sliced
+    into slots.  Returns (femis_m [1,ntab,group,W], femis_in
+    [1,ntab,2,group], trans [1,NPLANES,group,W], spans, col_sel,
+    profile_ids) — spans/col_sel are the kernel's static layout tuples.
+    """
+    from deciphon_tpu.ops.tables import synth_fragment_tables
+
+    names = ("entry", "mm_in", "im_in", "dm_in", "md_in", "dd_in",
+             "mi", "ii")
+    margp = np.zeros((group, W, 125), np.float32)
+    qp = np.zeros((group, W, 5), np.float32)
+    inm = np.zeros((group, 2, 125), np.float32)
+    inq = np.zeros((group, 2, 5), np.float32)
+    trans = np.full((NPLANES, group, W), NEG, np.float32)
+    spans = []
+    col_sel = []
+    profile_ids = []
+    eps = float(profiles[row[0][0]].cfg.epsilon)
+    sid = 0
+    per_profile_planes: dict[int, np.ndarray] = {}
+    for s, (pi, c, span) in enumerate(row):
+        if c == 0:
+            spans.append(sid)
+            sid += 1
+            col_sel.append(s)
+            profile_ids.append(pi)
+        else:
+            spans.append(spans[-1])
+        p = profiles[pi]
+        k = p.core_size
+        Kfull = span * W
+        if pi not in per_profile_planes:
+            arrs = {
+                n: np.full((1, Kfull), NEG, np.float32) for n in names
+            }
+            for n in names:
+                arrs[n][0, :k] = np.maximum(
+                    np.asarray(getattr(p, n), np.float64), NEG
+                )
+            per_profile_planes[pi] = _pack_trans(
+                lambda n: arrs[n], 1, Kfull, group=1, nsegs=1
+            )[0]  # [NPLANES, 1, Kfull]
+        trans[:, s, :] = per_profile_planes[pi][:, 0, c * W : (c + 1) * W]
+        lo, hi = c * W, min(k, (c + 1) * W)
+        if hi > lo:
+            margp[s, : hi - lo] = np.exp(p.match_marg[lo:hi])
+            qp[s, : hi - lo] = np.exp(p.match_q[lo:hi])
+        inm[s, 0] = np.exp(p.insert_marg)
+        inq[s, 0] = np.exp(p.insert_q)
+        inm[s, 1] = np.exp(p.null_marg)
+        inq[s, 1] = np.exp(p.null_q)
+    # pad unused slots with unique span ids (no continuation carries)
+    while len(spans) < group:
+        spans.append(sid)
+        sid += 1
+    fm = synth_fragment_tables(
+        jnp.asarray(margp.reshape(-1, 125)),
+        jnp.asarray(qp.reshape(-1, 5)), eps=eps,
+    )  # [group*W, NTAB]
+    femis_m = jnp.transpose(
+        fm.reshape(1, group, W, NTAB), (0, 3, 1, 2)
+    )  # [1, NTAB, group, W]
+    fin = synth_fragment_tables(
+        jnp.asarray(inm.reshape(-1, 125)),
+        jnp.asarray(inq.reshape(-1, 5)), eps=eps,
+    )
+    femis_in = jnp.transpose(
+        fin.reshape(1, group, 2, NTAB), (0, 3, 2, 1)
+    )  # [1, NTAB, 2, group]
+    return (
+        femis_m, femis_in, jnp.asarray(trans[None]),
+        tuple(spans), tuple(col_sel), profile_ids,
+    )
+
+
 def run_block_raw(
     femis_m, femis_in, trans, seqinfo, seqlens,
     *, K: int, P: int, nseq: int,
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
     dchain: str = "scan", nsegs: int = 1, nres: int | None = None,
-    ablate: str = "none",
+    ablate: str = "none", spans: tuple | None = None,
 ):
     """Unjitted kernel launch: trace-composable so callers can fuse
     multiple launches into one jitted dispatch if they choose.
@@ -780,7 +1070,7 @@ def run_block_raw(
         _kernel, K=K, nseq=nseq, nch=nch,
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         n_stream=n_stream, semiring=semiring, group=group,
-        dchain=dchain, nsegs=nsegs, ablate=ablate,
+        dchain=dchain, nsegs=nsegs, ablate=ablate, spans=spans,
     )
     grid = (P, SG)
     if n_stream == 0:
@@ -855,7 +1145,7 @@ _run = functools.partial(
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
         "n_stream", "semiring", "group", "dchain", "nsegs", "nres",
-        "ablate",
+        "ablate", "spans",
     ),
 )(run_block_raw)
 
@@ -866,7 +1156,8 @@ def run_scores_raw(
     multi_hits: bool, hmmer3_compat: bool, interpret: bool,
     n_stream: int = 0, semiring: str = "max", group: int = GROUP,
     dchain: str = "scan", nsegs: int = 1, nres: int | None = None,
-    ablate: str = "none",
+    ablate: str = "none", spans: tuple | None = None,
+    col_sel: tuple | None = None,
 ):
     """Kernel + output epilogue in ONE traceable function.
 
@@ -889,16 +1180,20 @@ def run_scores_raw(
         multi_hits=multi_hits, hmmer3_compat=hmmer3_compat,
         interpret=interpret, n_stream=n_stream, semiring=semiring,
         group=group, dchain=dchain, nsegs=nsegs, nres=nres,
-        ablate=ablate,
+        ablate=ablate, spans=spans,
     )
     SG = alt.shape[1]
     ncols = nsegs * group
 
     def epi(x):
-        return (
-            jnp.transpose(x, (1, 2, 0, 3))
-            .reshape(SG * nseq, P * ncols)[:, :nprofiles]
+        flat = jnp.transpose(x, (1, 2, 0, 3)).reshape(
+            SG * nseq, P * ncols
         )
+        if col_sel is not None:
+            # slotspan rows: a profile's score is replicated across its
+            # slots; take each profile's first-slot column
+            return flat[:, np.asarray(col_sel)]
+        return flat[:, :nprofiles]
 
     return epi(alt), epi(null)
 
@@ -908,7 +1203,7 @@ _run_scores = functools.partial(
     static_argnames=(
         "multi_hits", "hmmer3_compat", "interpret", "K", "P", "nseq",
         "nprofiles", "n_stream", "semiring", "group", "dchain", "nsegs",
-        "nres", "ablate",
+        "nres", "ablate", "spans", "col_sel",
     ),
 )(run_scores_raw)
 
@@ -927,6 +1222,8 @@ class BlockMeta(typing.NamedTuple):
     nsegs: int
     nres: int
     seq_slot: int
+    spans: tuple | None = None  # slotspan layout (see plan_spans)
+    col_sel: tuple | None = None  # profile first-slot columns
 
 
 def fused_scores_raw(
@@ -973,6 +1270,7 @@ def fused_scores_raw(
                 interpret=interpret, n_stream=m.n_stream,
                 semiring=semiring, group=m.group, dchain=dchain,
                 nsegs=m.nsegs, nres=m.nres,
+                spans=m.spans, col_sel=m.col_sel,
             )
         )
     rows = max(a.shape[0] for a, _ in outs)
@@ -1067,13 +1365,15 @@ class PallasBlock:
         )
 
     def _init(self, femis_m, femis_in, trans, B, group, n_stream, nsegs=1,
-              nres=None):
+              nres=None, spans=None, col_sel=None):
         self.femis_m = femis_m
         self.femis_in = femis_in
         self.trans = trans
         self.nprofiles = B
         self.group = group
         self.nsegs = nsegs
+        self.spans = spans
+        self.col_sel = col_sel
         self.kpad = femis_m.shape[-1]  # kernel lane width (nsegs * segw)
         self.segw = self.kpad // nsegs  # per-profile padded width
         self.ngroups = femis_m.shape[0]
@@ -1129,6 +1429,29 @@ class PallasBlock:
         )
         return self
 
+    @classmethod
+    def from_span_rows(cls, profiles, W: int = 1024, group: int = 8):
+        """Slotspan blocks for huge-core profiles: each profile occupies
+        ceil(core/W) consecutive sublane slots of a W-lane row, with
+        cross-slot carries in-kernel — so a 4096-core outlier costs 4
+        slots at W=1024 instead of widening a whole 8-slot row to 4096
+        lanes (the 0.38-efficiency tail block).  One block per row (the
+        slot layout is a static kernel parameter).  Returns a list of
+        (PallasBlock, profile_positions)."""
+        rows = plan_spans([p.core_size for p in profiles], W, group)
+        out = []
+        for row in rows:
+            fm, fin, tr, spans, col_sel, pids = pack_span_row(
+                profiles, row, W, group
+            )
+            blk = object.__new__(cls)
+            blk._init(
+                fm, fin, tr, len(pids), group, None, 1, None,
+                spans=spans, col_sel=col_sel,
+            )
+            out.append((blk, pids))
+        return out
+
     def scores(
         self,
         seqinfo,
@@ -1165,6 +1488,7 @@ class PallasBlock:
             interpret=interpret, n_stream=self.n_stream,
             semiring=semiring, group=self.group, dchain=dchain,
             nsegs=self.nsegs, nres=self.nres, ablate=ablate,
+            spans=self.spans, col_sel=self.col_sel,
         )
         if trim_rows and alt.shape[0] != nseqs:
             alt = alt[:nseqs]

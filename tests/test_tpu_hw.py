@@ -206,3 +206,73 @@ def test_extended_table_kernel_on_hw(reads):
     )
     np.testing.assert_allclose(alt[:2, :4], ra, atol=1e-3, rtol=2e-6)
     np.testing.assert_allclose(null[:2, :4], rn, atol=1e-3, rtol=2e-6)
+
+
+def test_slotspan_row_on_hw(reads):
+    """Slotspan tail row (profiles spanning 4/2/1 sublane slots at
+    W=1024) through the real Mosaic lowering: sublane rolls + span
+    carries have no interpret-mode analogue of their layout rules.
+    Parity vs the XLA engine on the same profiles."""
+    import jax.numpy as jnp
+
+    from deciphon_tpu.ops import viterbi_jax as vj
+    from deciphon_tpu.ops import viterbi_pallas as vp
+
+    eidx, slen = reads
+    cores = [4096, 2048, 1024, 965]
+    profs = [
+        _profiles(c, 1)[0] if c not in _PROF_CACHE else _profiles(c, 1)[0]
+        for c in cores
+    ]
+    rows = vp.PallasBlock.from_span_rows(profs, W=1024, group=8)
+    assert len(rows) == 1
+    pb, pids = rows[0]
+    nseq = vp.pick_nseq(NSEQS, vp.nseq_cap(pb.kpad, pb.group))
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=nseq)
+    alt, null = pb.scores(jnp.asarray(seqinfo), jnp.asarray(seqlens), S)
+    alt, null = np.asarray(alt), np.asarray(null)
+    assert np.isfinite(alt).all() and np.isfinite(null).all()
+    ordered = [profs[i] for i in pids]
+    block = vj.build_profile_block(ordered[:4], kpad=4096)
+    ra, rn = map(
+        np.asarray,
+        vj.viterbi_scores(
+            block, jnp.asarray(eidx[:2]), jnp.asarray(slen[:2])
+        ),
+    )
+    np.testing.assert_allclose(alt[:2, :4], ra, atol=1e-3, rtol=2e-6)
+    np.testing.assert_allclose(null[:2, :4], rn, atol=1e-3, rtol=2e-6)
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="KNOWN ISSUE (docs/PERFORMANCE.md): group-8 wide rows "
+    "mis-score a subset of cells on hardware; latent since <= r4, "
+    "interpret-exact, slot-inconsistent with replicated profiles. "
+    "An XPASS here means the toolchain fixed it.",
+)
+def test_g8_wide_rows_all_columns_vs_oracle(reads):
+    """ALL-column parity vs the f64 oracle at a group-8 wide row (the
+    earlier boundary tests checked only 4 of 8 columns, which let this
+    latent defect live since at least round 4)."""
+    import jax.numpy as jnp
+
+    from deciphon_tpu.ops import viterbi_pallas as vp
+    from deciphon_tpu.ops import viterbi_ref as vr
+    from deciphon_tpu.models.alphabet import DNA
+
+    eidx, slen = reads
+    profs = _profiles(888, 8)
+    pb = vp.PallasBlock.from_profiles(profs, kpad=896, group=8)
+    nseq = vp.pick_nseq(NSEQS, vp.nseq_cap(pb.kpad, pb.group))
+    seqinfo, seqlens, S = vp.make_seqinfo(eidx, slen, nseq=nseq)
+    alt, _ = pb.scores(jnp.asarray(seqinfo), jnp.asarray(seqlens), S)
+    alt = np.asarray(alt)
+    rng = np.random.default_rng(0)
+    seqs = [
+        "".join(rng.choice(list("ACGT"), int(rng.integers(40, SEQ_LEN))))
+        for _ in range(NSEQS)
+    ]
+    enc = DNA.encode(seqs[0])
+    oracle = np.array([vr.viterbi_alt(p, enc).loglik for p in profs])
+    np.testing.assert_allclose(alt[0], oracle, atol=5e-3)
